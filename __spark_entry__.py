@@ -15,8 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: end-to-end transcript classification pipeline at
+    sf0.001 (deterministic generated transcripts → stream-static registry
+    join → vectorized kernel → per-conversation session summaries)."""
+    from distributed_classification_system_spark.plans.flagship import flagship
+
+    return flagship(spark, sf=0.001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,178 @@
+"""The per-turn classification kernel.
+
+Reference semantics being reproduced (SURVEY.md §2.3 K1-K6, P6):
+
+- plug-in model interface ``predict(item, **kw) -> [{label, score}]``
+  (ml-service/models/base_model.py:6-34)
+- per-label scoring + normalization (CLIP joint-encode + softmax,
+  ml-service/models/clip_model.py:49-64)
+- sort desc by score, truncate to ``top_k`` (clip_model.py:66-76)
+- top-1 extraction (classification_controller.py:88-90)
+- threshold relabel: ``top_confidence < threshold`` → ``"unknown"`` with a
+  reason, original confidence preserved (classification_controller.py:87-96)
+- per-item timing (classification_controller.py:70,82) — deterministic
+  synthetic here so outputs are reproducible.
+
+The model itself is a **deterministic count-normalized scorer** (the CLIP
+weights are neither available nor reproducible in this environment):
+
+    cnt_l   = number of whitespace tokens of lower(text) equal to label l
+    weight_l = 1 + cnt_l                      (Laplace smoothing, integer)
+    denom    = n_labels + sum_l cnt_l          (integer)
+    score_l  = weight_l / denom                (ONE IEEE-754 division)
+
+Because every score is a single division of two small integers, the same
+value is produced bit-identically by pandas/numpy, Spark SQL, and DuckDB —
+which makes the whole classification pipeline oracle-checkable, not just
+rows-only. Ties are broken by label ascending (deterministic ordering).
+
+Three interchangeable implementations, all same output:
+- ``score_text``     — scalar Python (the test oracle)
+- ``classify_udf``   — vectorized Arrow/pandas UDF (the mandated hot path;
+                       batched, no per-row Python at the Spark row level)
+- ``classify_expr``  — pure-Catalyst expression variant (whole-stage
+                       codegen; used to cross-check and to benchmark
+                       JVM-vs-Arrow execution)
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_classification_system_spark.schemas import PREDICTION
+
+UNKNOWN_LABEL = "unknown"
+LOW_CONFIDENCE_REASON = "low_confidence"
+MS_PER_TOKEN = 0.05  # deterministic synthetic stand-in for wall-clock (K6)
+
+CLASSIFY_RESULT = T.StructType(
+    [
+        T.StructField("top_prediction", T.StringType(), True),
+        T.StructField("top_confidence", T.DoubleType(), True),
+        T.StructField("all_predictions", T.ArrayType(PREDICTION), True),
+        T.StructField("reason", T.StringType(), True),
+        T.StructField("processing_time_ms", T.DoubleType(), True),
+    ]
+)
+
+
+def score_text(text: str, labels: list[str], top_k: int, threshold: float) -> dict:
+    """Scalar reference implementation (test oracle)."""
+    tokens = (text or "").lower().split(" ")
+    label_list = sorted(labels)
+    counts = Counter(t for t in tokens if t in set(label_list))
+    denom = len(label_list) + sum(counts.values())
+    scored = sorted(
+        ((label, (1 + counts.get(label, 0)) / denom) for label in label_list),
+        key=lambda p: (-p[1], p[0]),
+    )
+    top = scored[: max(1, top_k)]
+    top_label, top_conf = top[0]
+    relabel = top_conf < threshold
+    return {
+        "top_prediction": UNKNOWN_LABEL if relabel else top_label,
+        "top_confidence": top_conf,
+        "all_predictions": [{"label": l, "score": s} for l, s in top],
+        "reason": LOW_CONFIDENCE_REASON if relabel else None,
+        "processing_time_ms": len(tokens) * MS_PER_TOKEN,
+    }
+
+
+@F.pandas_udf(returnType=CLASSIFY_RESULT)
+def classify_udf(
+    text: pd.Series, labels: pd.Series, top_k: pd.Series, threshold: pd.Series
+) -> pd.DataFrame:
+    """Vectorized kernel: one Arrow batch in, one batch of result structs out.
+
+    Replaces the reference's per-message asyncio worker loop
+    (ml-service/sqs_worker.py:157-174 + classification_controller.py:60-106)
+    with batch execution; the per-Python-worker "model" (the label set
+    index) is built once per distinct label set per batch, mirroring
+    load-once model residency (classification_controller.py:23-35).
+    """
+    out_pred, out_conf, out_all, out_reason, out_ms = [], [], [], [], []
+    set_cache: dict[tuple, tuple[list[str], frozenset[str]]] = {}
+    for txt, labs, k, thr in zip(text, labels, top_k, threshold):
+        key = tuple(labs)
+        cached = set_cache.get(key)
+        if cached is None:
+            ordered = sorted(labs)
+            cached = (ordered, frozenset(ordered))
+            set_cache[key] = cached
+        ordered, label_set = cached
+        tokens = (txt or "").lower().split(" ")
+        counts = Counter(t for t in tokens if t in label_set)
+        denom = len(ordered) + sum(counts.values())
+        scored = sorted(
+            ((label, (1 + counts.get(label, 0)) / denom) for label in ordered),
+            key=lambda p: (-p[1], p[0]),
+        )[: max(1, int(k))]
+        top_label, top_conf = scored[0]
+        relabel = top_conf < thr
+        out_pred.append(UNKNOWN_LABEL if relabel else top_label)
+        out_conf.append(top_conf)
+        out_all.append([{"label": l, "score": s} for l, s in scored])
+        out_reason.append(LOW_CONFIDENCE_REASON if relabel else None)
+        out_ms.append(len(tokens) * MS_PER_TOKEN)
+    return pd.DataFrame(
+        {
+            "top_prediction": out_pred,
+            "top_confidence": out_conf,
+            "all_predictions": out_all,
+            "reason": out_reason,
+            "processing_time_ms": out_ms,
+        }
+    )
+
+
+def classify_expr(text: Column, labels: Column, top_k: Column, threshold: Column) -> Column:
+    """Pure-Catalyst variant of the kernel (same output as classify_udf).
+
+    Stays entirely inside whole-stage codegen: tokens via ``split``, counts
+    via ``filter``+``size``, ranking via ``array_sort`` with a comparator.
+    Used for JVM-side benchmarking; the streaming path uses the pandas UDF
+    per the north-rule mandate.
+    """
+    tokens = F.split(F.lower(F.coalesce(text, F.lit(""))), " ")
+    sorted_labels = F.array_sort(labels)
+    counted = F.transform(
+        sorted_labels,
+        lambda lab: F.struct(
+            lab.alias("label"),
+            F.size(F.filter(tokens, lambda t: t == lab)).alias("cnt"),
+        ),
+    )
+    denom = F.size(sorted_labels) + F.aggregate(
+        counted, F.lit(0), lambda acc, s: acc + s["cnt"]
+    )
+    preds = F.transform(
+        counted,
+        lambda s: F.struct(
+            s["label"].alias("label"),
+            ((s["cnt"] + 1).cast("double") / denom.cast("double")).alias("score"),
+        ),
+    )
+    ranked = F.array_sort(
+        preds,
+        lambda l, r: F.when(l["score"] > r["score"], F.lit(-1))
+        .when(l["score"] < r["score"], F.lit(1))
+        .when(l["label"] < r["label"], F.lit(-1))
+        .when(l["label"] > r["label"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    top = F.slice(ranked, 1, F.greatest(F.lit(1), top_k))
+    top_label = F.element_at(top, 1)["label"]
+    top_conf = F.element_at(top, 1)["score"]
+    relabel = top_conf < threshold
+    return F.struct(
+        F.when(relabel, F.lit(UNKNOWN_LABEL)).otherwise(top_label).alias("top_prediction"),
+        top_conf.alias("top_confidence"),
+        top.alias("all_predictions"),
+        F.when(relabel, F.lit(LOW_CONFIDENCE_REASON)).alias("reason"),
+        (F.size(tokens) * F.lit(MS_PER_TOKEN)).alias("processing_time_ms"),
+    )

@@ -1,0 +1,86 @@
+"""Batch/micro-batch classification stage.
+
+Re-expresses the reference's fan-out → queue → worker → classify path
+(SURVEY.md §3.1 steps 3-5; backend-service/handlers/handlers.go:95-126,
+ml-service/sqs_worker.py:142-174, ml-service/controllers/
+classification_controller.py:60-106) as one declarative plan:
+
+    transcripts ⋈ conv_config (equi, co-partitioned on conv_id)
+                ⋈ broadcast(label_registry) (stream-static dim join, K7/J3)
+                → [optional salted repartition — skew defense, T10]
+                → vectorized kernel (classify_udf / classify_expr)
+
+Scale notes (100 TB):
+- conv_config is keyed by conv_id like the downstream session fold, so
+  Catalyst reuses the same hash partitioning across join → groupBy — one
+  shuffle, not two.
+- the registry is tiny (one row per job_type) → broadcast, no shuffle.
+- a hot conv_id (10^5 turns in one conversation) would serialize one task
+  in the *stateless* kernel stage if rows stayed partitioned by conv_id;
+  ``salt_buckets`` spreads each conversation over that many buckets before
+  the UDF runs. The keyed fold re-gathers by conv_id afterwards
+  (reference anti-pattern being fixed: global mutex serializing ALL jobs,
+  backend-service/handlers/handlers.go:28,219-221).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_classification_system_spark.functions.kernel import classify_expr, classify_udf
+
+
+def classify_turns(
+    transcripts: DataFrame,
+    conv_config: DataFrame,
+    registry: DataFrame,
+    use_expr: bool = False,
+    salt_buckets: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Classify every turn; returns the TURN_RESULTS columns minus lineage.
+
+    ``use_expr=True`` switches to the pure-Catalyst kernel (same output),
+    ``salt_buckets`` enables the hot-conversation salting repartition.
+    """
+    df = transcripts.join(conv_config.select("conv_id", "job_type", "top_k", "confidence_threshold"), "conv_id")
+    df = df.join(F.broadcast(registry.select("job_type", "model_name", "labels")), "job_type")
+
+    if salt_buckets:
+        salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+        parts = [num_partitions] if num_partitions else []
+        df = df.repartition(*parts, F.col("conv_id"), salt)
+
+    if use_expr:
+        res = classify_expr(
+            F.col("text"), F.col("labels"), F.col("top_k"), F.col("confidence_threshold")
+        )
+    else:
+        res = classify_udf(
+            F.col("text"), F.col("labels"), F.col("top_k"), F.col("confidence_threshold")
+        )
+
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.col("model_name").alias("model_used"),
+        res.alias("r"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "model_used",
+        "r.top_prediction",
+        "r.top_confidence",
+        "r.all_predictions",
+        "r.reason",
+        "r.processing_time_ms",
+    )

@@ -1,0 +1,188 @@
+"""Deterministic, distributed synthetic-data generators.
+
+Replaces the reference's workload generator (load-tests/utils/
+image_manager.py:59-87, load-tests/locustfile.py:44-56, job-size mix at
+load-tests/config.py:35-39) with a Spark-native generator: every value is
+a pure function of ``(seed, conv_seq, turn_idx, field)`` via ``xxhash64``,
+so the same (sf, seed) produces identical rows on any cluster size, any
+partitioning — a requirement for golden tests and for generating the
+10^12-turn table distributively without a driver bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_classification_system_spark import schemas
+
+SEED = 42
+# Turns per conversation mix (reference load-tests/config.py:35-39):
+# small 1-3 (40%), medium 4-10 (50%), large 11-20 (10%) -> mean 5.85.
+MEAN_TURNS = 5.85
+
+# Scoring vocabularies (reference: ImageNet-1000 for MobileNet, custom label
+# sets for CLIP — ml-service/models/{mobilenet,clip}_model.py; the sample
+# custom set is load-tests/locustfile.py:52-56).
+CUSTOM_LABELS = ["dog", "cat", "bird", "car", "person"]
+IMAGE_LABELS = [
+    "akita", "beagle", "tabby", "siamese", "robin", "falcon", "sedan",
+    "pickup", "bicycle", "laptop", "keyboard", "espresso", "pizza",
+    "volcano", "castle", "canoe", "parachute", "snorkel", "banjo", "tractor",
+]
+ALL_MARKERS = sorted(set(CUSTOM_LABELS) | set(IMAGE_LABELS))
+
+FILLER = [
+    "the", "a", "of", "to", "and", "in", "is", "it", "you", "that", "was",
+    "for", "on", "are", "with", "as", "they", "be", "at", "one", "have",
+    "this", "from", "or", "had", "by", "hot", "word", "but", "what", "some",
+    "we", "can", "out", "other", "were", "all", "there", "when", "up", "use",
+]
+TOOLS = ["search", "browser", "python", "bash", "calculator", "sql", "editor", "fetch"]
+JOB_TYPES = ["image_classification", "custom_classification"]
+THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+BASE_TS = "2025-01-01 00:00:00"
+
+
+def _h(*cols: Column | str, tag: str) -> Column:
+    """Deterministic 64-bit hash of the given columns + a field tag."""
+    return F.xxhash64(F.lit(tag), F.lit(SEED), *cols)
+
+
+def _u(*cols: Column | str, tag: str) -> Column:
+    """Deterministic uniform double in [0, 1)."""
+    return F.pmod(_h(*cols, tag=tag), F.lit(1_000_000)).cast("double") / 1_000_000.0
+
+
+def gen_conversations(
+    spark: SparkSession,
+    n_convs: int,
+    n_hot: int = 0,
+    hot_turns: int = 2000,
+) -> DataFrame:
+    """One row per conversation with its sampled parameters.
+
+    ``n_hot`` conversations get ``hot_turns`` turns each — the skew fixture
+    (reference: one 30k-item job, scripts/submit_large_load.py:25-36).
+    """
+    df = spark.range(n_convs).withColumnRenamed("id", "conv_seq")
+    u_band = _u("conv_seq", tag="band")
+    u_size = _u("conv_seq", tag="size")
+    n_turns = (
+        F.when(F.col("conv_seq") < n_hot, F.lit(hot_turns))
+        .when(u_band < 0.4, (F.lit(1) + F.floor(u_size * 3)))
+        .when(u_band < 0.9, (F.lit(4) + F.floor(u_size * 7)))
+        .otherwise(F.lit(11) + F.floor(u_size * 10))
+    ).cast("int")
+    return df.select(
+        F.col("conv_seq"),
+        F.format_string("conv-%08d", "conv_seq").alias("conv_id"),
+        n_turns.alias("n_turns"),
+        F.element_at(
+            F.array(*[F.lit(j) for j in JOB_TYPES]),
+            (F.pmod(_h("conv_seq", tag="job_type"), F.lit(2)) + 1).cast("int"),
+        ).alias("job_type"),
+        (F.pmod(_h("conv_seq", tag="top_k"), F.lit(10)) + 1).cast("int").alias("top_k"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in THRESHOLDS]),
+            (F.pmod(_h("conv_seq", tag="thr"), F.lit(len(THRESHOLDS))) + 1).cast("int"),
+        ).alias("confidence_threshold"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in ALL_MARKERS]),
+            (F.pmod(_h("conv_seq", tag="bias"), F.lit(len(ALL_MARKERS))) + 1).cast("int"),
+        ).alias("bias_label"),
+    )
+
+
+def gen_conv_config(spark: SparkSession, n_convs: int, **kw) -> DataFrame:
+    """Per-conversation job parameters (FIXTURES.md §3)."""
+    return gen_conversations(spark, n_convs, **kw).select(
+        "conv_id", "job_type", "top_k", "confidence_threshold", "n_turns"
+    )
+
+
+def _text_expr() -> Column:
+    """Seeded token sequence, 5-200 tokens, ~25% label-correlated markers.
+
+    Pure Catalyst (`transform` over `sequence`) — whole-stage codegen'd,
+    no Python in the generation path.
+    """
+    filler = F.array(*[F.lit(w) for w in FILLER])
+    n_tokens = (F.pmod(_h("conv_seq", "turn_idx", tag="ntok"), F.lit(196)) + 5).cast("int")
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_tokens),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.lit("pick"), F.lit(SEED), F.col("conv_seq"), F.col("turn_idx"), i), F.lit(4)) == 0,
+                F.col("bias_label"),
+            ).otherwise(
+                F.element_at(
+                    filler,
+                    (F.pmod(F.xxhash64(F.lit("tok"), F.lit(SEED), F.col("conv_seq"), F.col("turn_idx"), i), F.lit(len(FILLER))) + 1).cast("int"),
+                )
+            ),
+        ),
+    )
+
+
+def gen_transcripts(
+    spark: SparkSession,
+    n_convs: int,
+    n_hot: int = 0,
+    hot_turns: int = 2000,
+) -> DataFrame:
+    """The input table per BASELINE.json input_hint:
+    (conv_id string, turn_idx int, role string, text string, tool string, ts timestamp).
+
+    ts is monotone per conversation in turn_idx (ordered fixture); stream
+    tests derive disordered/late/duplicated variants from this.
+    """
+    convs = gen_conversations(spark, n_convs, n_hot=n_hot, hot_turns=hot_turns)
+    turns = convs.select(
+        "conv_seq",
+        "conv_id",
+        "bias_label",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    role = (
+        F.when(F.pmod(F.col("turn_idx") + _h("conv_seq", tag="rolerot"), F.lit(5)) == 4, F.lit("tool"))
+        .when(F.pmod(F.col("turn_idx"), F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    tool = F.when(
+        _u("conv_seq", "turn_idx", tag="hastool") >= 0.7,
+        F.element_at(
+            F.array(*[F.lit(t) for t in TOOLS]),
+            (F.pmod(_h("conv_seq", "turn_idx", tag="tool"), F.lit(len(TOOLS))) + 1).cast("int"),
+        ),
+    )
+    ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
+        secs=(F.pmod(F.col("conv_seq"), F.lit(86400)) + F.col("turn_idx") * 7).cast("double")
+    )
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        _text_expr().alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def gen_label_registry(spark: SparkSession) -> DataFrame:
+    """Static model/label dimension (FIXTURES.md §2) — broadcast side of the
+    stream-static join (reference dispatch:
+    ml-service/controllers/classification_controller.py:77-80)."""
+    rows = [
+        ("image_classification", "det-count-v1-imagenet", IMAGE_LABELS, "a photo of %s"),
+        ("custom_classification", "det-count-v1-custom", CUSTOM_LABELS, "a photo of %s"),
+    ]
+    return spark.createDataFrame(rows, schemas.LABEL_REGISTRY)
+
+
+def n_convs_for_sf(sf: float) -> int:
+    """TESTDATA-compatible sizing: sf=0.001 ≈ 6k turns."""
+    return max(1, int(sf * 6_000_000 / MEAN_TURNS))
