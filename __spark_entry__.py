@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship transcript-classification pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2), each a
+callable (spark, sf_dir) -> DataFrame over the driver parquet tables.
+``oracle_sql()`` — exact DuckDB equivalents. Exactness discipline: every
+float in an oracle-checked query is either a raw column value, a single
+IEEE division of exact integers/decimals, or a rounded statistic — never
+an order-dependent double sum — so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,6 +14,19 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_classification_system_spark.operators import ann as _ann
+from distributed_classification_system_spark.operators import dedup as _dedup
+from distributed_classification_system_spark.operators import joins as _joins
+from distributed_classification_system_spark.operators import rollup as _rollup
+from distributed_classification_system_spark.operators import serve as _serve
+from distributed_classification_system_spark.operators.classify import classify_documents
+from distributed_classification_system_spark.functions import text as _text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,20 +38,470 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, sf=0.001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# Shared SQL fragments for the oracle (kept next to their Spark twins).
+# ---------------------------------------------------------------------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+_DOC_LABELS_SQL = "['filter', 'join', 'query', 'spark', 'window']"  # sorted
+
+_CLASSIFY_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+),
+cnt AS (
+  SELECT doc_id, lang, label,
+         len(list_filter(toks, t -> t = label)) AS c,
+         len(toks) AS n_tok
+  FROM tok CROSS JOIN (SELECT unnest({_DOC_LABELS_SQL}) AS label)
+),
+scored AS (
+  SELECT doc_id, lang, label, n_tok,
+         CAST(c + 1 AS DOUBLE) / (5 + SUM(c) OVER (PARTITION BY doc_id)) AS score
+  FROM cnt
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+),
+classified AS (
+  SELECT doc_id, lang,
+    CASE WHEN max(CASE WHEN rn = 1 THEN score END) < 0.25 THEN 'unknown'
+         ELSE max(CASE WHEN rn = 1 THEN label END) END AS top_prediction,
+    max(CASE WHEN rn = 1 THEN score END) AS top_confidence,
+    string_agg(CASE WHEN rn <= 3 THEN label END, ',' ORDER BY rn) AS pred_labels,
+    CASE WHEN max(CASE WHEN rn = 1 THEN score END) < 0.25 THEN 'low_confidence' END AS reason,
+    max(n_tok) * CAST(0.05 AS DOUBLE) AS processing_time_ms
+  FROM ranked GROUP BY doc_id, lang
+)
+"""
+
+_SHINGLE_CTE = """
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM docs WHERE len(toks) >= 3
+)
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- classification kernel (K1-K6, P6, P10) over documents -----------
+    q["classify_docs_udf"] = lambda s, d: classify_documents(_t(s, d, "documents"))
+    q["classify_docs_expr"] = lambda s, d: classify_documents(_t(s, d, "documents"), use_expr=True)
+    q["classify_summary"] = lambda s, d: (
+        classify_documents(_t(s, d, "documents"), use_expr=True)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("top_prediction") != "unknown", 1).otherwise(0)).alias("classified"),
+            F.sum(F.when(F.col("top_prediction") == "unknown", 1).otherwise(0)).alias("unknown"),
+        )
+    )
+    q["label_grouping"] = lambda s, d: (
+        classify_documents(_t(s, d, "documents"), use_expr=True)
+        .groupBy("lang", "top_prediction")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
+            ).alias("doc_ids")
+        )
+    )
+
+    # --- serving path (S7/S9, P1-P11, O1/O2, A7) --------------------------
+    q["serve_list_jobs"] = lambda s, d: _serve.list_jobs(_t(s, d, "orders"))
+    q["point_read"] = lambda s, d: _serve.point_read(_t(s, d, "orders"))
+    q["status_counts"] = lambda s, d: _serve.status_counts(_t(s, d, "orders"))
+    q["whitelist_filter"] = lambda s, d: _serve.whitelist_filter(_t(s, d, "events"))
+    q["substring_search"] = lambda s, d: _serve.substring_search(_t(s, d, "documents"))
+    q["json_extract"] = lambda s, d: _serve.json_extract(_t(s, d, "events"))
+    q["threshold_relabel"] = lambda s, d: _serve.threshold_relabel(_t(s, d, "events"))
+    q["summary_projection"] = lambda s, d: _serve.summary_projection(_t(s, d, "documents"))
+    q["content_type_map"] = lambda s, d: _serve.content_type_map(_t(s, d, "documents"))
+
+    # --- aggregations / statistics (A7-A13) -------------------------------
+    q["desc_stats"] = lambda s, d: _rollup.desc_stats(_t(s, d, "events"))
+    q["exact_percentiles"] = lambda s, d: _rollup.exact_percentiles(_t(s, d, "events"))
+    q["failure_rate"] = lambda s, d: _rollup.failure_rate(_t(s, d, "events"))
+    q["pearson_corr"] = lambda s, d: _rollup.pearson_corr(_t(s, d, "events"))
+    q["user_sessions"] = lambda s, d: _rollup.user_sessions(_t(s, d, "events"))
+
+    # --- windows / time-series (W1-W9, A12) --------------------------------
+    q["tumbling_window"] = lambda s, d: _rollup.tumbling_window(_t(s, d, "events"))
+    q["drain_rate"] = lambda s, d: _rollup.drain_rate(_t(s, d, "events"))
+    q["moving_avg"] = lambda s, d: _rollup.moving_avg(_t(s, d, "events"))
+    q["cumulative_sum"] = lambda s, d: _rollup.cumulative_sum(_t(s, d, "events"))
+    q["scaling_events"] = lambda s, d: _rollup.scaling_events(_t(s, d, "events"))
+    q["range_align"] = lambda s, d: _rollup.range_align(
+        _t(s, d, "events"), "2024-01-03 00:00:00", "2024-01-10 00:00:00"
+    )
+    q["topk_per_group"] = lambda s, d: _rollup.topk_per_group(_t(s, d, "events"))
+    q["asof_join"] = lambda s, d: _rollup.asof_join(_t(s, d, "events"))
+
+    # --- joins (J1-J6) ------------------------------------------------------
+    q["dim_join_rollup"] = lambda s, d: _joins.dim_join_rollup(
+        _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
+    )
+    q["anti_join"] = lambda s, d: _joins.anti_join(_t(s, d, "customer"), _t(s, d, "orders"))
+    q["semi_join"] = lambda s, d: _joins.semi_join(_t(s, d, "customer"), _t(s, d, "orders"))
+    q["fact_dim_revenue"] = lambda s, d: _joins.fact_dim_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "orders")
+    )
+    q["pricing_summary"] = lambda s, d: _joins.pricing_summary(_t(s, d, "lineitem"))
+
+    # --- dedup family -------------------------------------------------------
+    q["exact_dedup"] = lambda s, d: _dedup.exact_dedup(
+        _t(s, d, "documents").unionAll(_t(s, d, "documents").filter(F.col("doc_id") % 10 == 0))
+    )
+    q["ngram_jaccard"] = lambda s, d: _dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents").filter(F.col("doc_id") < 300)
+    )
+    q["minhash_lsh"] = lambda s, d: _dedup.minhash_lsh_candidates(
+        _t(s, d, "documents").filter(F.col("doc_id") < 300)
+    )
+    q["simhash_near_dups"] = lambda s, d: _dedup.simhash_near_dups(
+        _t(s, d, "documents").unionAll(
+            _t(s, d, "documents").filter(F.col("doc_id") % 25 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+
+    # --- similarity search ---------------------------------------------------
+    q["ann_bruteforce"] = lambda s, d: _ann.brute_force_topk(_t(s, d, "embeddings"))
+    q["ann_ivf"] = lambda s, d: _ann.ivf_topk(_t(s, d, "embeddings"))
+
+    # --- text analysis --------------------------------------------------------
+    q["lang_id"] = lambda s, d: _text.lang_id(_t(s, d, "documents"))
+    q["quality_scores"] = lambda s, d: _text.quality_scores(_t(s, d, "documents"))
+    q["fingerprint"] = lambda s, d: _text.fingerprint(_t(s, d, "documents"))
+    q["rolling_fingerprints"] = lambda s, d: _text.rolling_fingerprints(
+        _t(s, d, "documents").filter(F.col("doc_id") < 100)
+    )
+
+    # --- transcript engine (rows-only: input is engine-generated) -----------
+    q["flagship_summaries"] = lambda s, d: entry(s)
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents (tables pre-registered as views). Keys absent
+    here (simhash_near_dups, rolling_fingerprints, flagship_summaries) are
+    non-SQL-portable → rows-only checks."""
+    o: dict[str, str] = {}
+
+    o["classify_docs_udf"] = _CLASSIFY_CTE + """
+SELECT doc_id, lang, top_prediction, top_confidence, pred_labels, reason,
+       processing_time_ms
+FROM classified
+"""
+    o["classify_docs_expr"] = o["classify_docs_udf"]
+    o["classify_summary"] = _CLASSIFY_CTE + """
+SELECT lang,
+       count(*) AS total,
+       CAST(sum(CASE WHEN top_prediction <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS classified,
+       CAST(sum(CASE WHEN top_prediction = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS unknown
+FROM classified GROUP BY lang
+"""
+    o["label_grouping"] = _CLASSIFY_CTE + """
+SELECT lang, top_prediction,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+FROM classified GROUP BY lang, top_prediction
+"""
+
+    o["serve_list_jobs"] = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100
+"""
+    o["point_read"] = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey = 42
+"""
+    o["status_counts"] = """
+SELECT o_orderstatus, count(*) AS n_jobs FROM orders GROUP BY o_orderstatus
+"""
+    o["whitelist_filter"] = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type IN ('click', 'view') GROUP BY event_type
+"""
+    o["substring_search"] = """
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE contains(lower(text), 'spark') GROUP BY lang
+"""
+    o["json_extract"] = """
+SELECT event_id, json_extract_string(props, '$.k') AS k
+FROM events WHERE event_id < 1000
+"""
+    o["threshold_relabel"] = """
+SELECT CASE WHEN value < 100.0 THEN 'unknown' ELSE event_type END AS label,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+    o["summary_projection"] = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS num_tokens
+FROM documents
+"""
+    o["content_type_map"] = """
+SELECT CASE WHEN source = 'src0' THEN 'image/jpeg'
+            WHEN source = 'src1' THEN 'image/png'
+            WHEN source = 'src2' THEN 'image/gif'
+            ELSE 'application/octet-stream' END AS content_type,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+    o["desc_stats"] = """
+SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v
+FROM events GROUP BY event_type
+"""
+    o["exact_percentiles"] = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
+  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99
+FROM ranked
+WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+   OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+   OR rn = CAST(ceil(n * 0.99) AS BIGINT)
+GROUP BY event_type
+"""
+    o["failure_rate"] = """
+SELECT user_id, count(*) AS n,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate
+FROM events GROUP BY user_id
+"""
+    o["pearson_corr"] = """
+SELECT event_type, round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+FROM events GROUP BY event_type
+"""
+    o["user_sessions"] = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+    o["tumbling_window"] = """
+SELECT date_trunc('minute', ts) AS win_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+    _hourly = "SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt FROM events GROUP BY 1"
+    o["drain_rate"] = f"""
+WITH hourly AS ({_hourly})
+SELECT hour, cnt, cnt - lag(cnt) OVER (ORDER BY hour) AS delta FROM hourly
+"""
+    o["moving_avg"] = f"""
+WITH hourly AS ({_hourly})
+SELECT hour, cnt,
+       CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w AS cnt_ma
+FROM hourly WINDOW w AS (ORDER BY hour ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+    o["cumulative_sum"] = f"""
+WITH hourly AS ({_hourly})
+SELECT hour, cnt,
+       sum(cnt) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+FROM hourly
+"""
+    o["scaling_events"] = f"""
+WITH hourly AS ({_hourly}),
+lagged AS (SELECT hour, cnt, lag(cnt) OVER (ORDER BY hour) AS prev_cnt FROM hourly)
+SELECT hour,
+       CASE WHEN cnt > prev_cnt THEN 'scale_up' ELSE 'scale_down' END AS direction,
+       cnt - prev_cnt AS delta
+FROM lagged WHERE prev_cnt IS NOT NULL AND cnt <> prev_cnt
+"""
+    o["range_align"] = """
+SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY event_type
+"""
+    o["topk_per_group"] = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+  FROM events
+)
+SELECT user_id, event_id, value, rnk FROM ranked WHERE rnk <= 3
+"""
+    o["asof_join"] = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type = 'login' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM events WHERE event_type IN ('error', 'login')
+)
+SELECT user_id, event_id, ts, value AS left_value, asof_value
+FROM tagged WHERE event_type = 'error'
+"""
+
+    o["dim_join_rollup"] = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    o["anti_join"] = """
+SELECT c_nationkey, count(*) AS n_inactive
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+    o["semi_join"] = """
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+    o["fact_dim_revenue"] = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["exact_dedup"] = """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+    o["ngram_jaccard"] = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+FROM cand
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.2
+"""
+    o["minhash_lsh"] = _SHINGLE_CTE + """,
+sig AS (
+  SELECT doc_id, perm, min(md5(concat(perm, '|', shingle))) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm)
+  GROUP BY doc_id, perm
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_shared
+FROM sig a JOIN sig b ON a.perm = b.perm AND a.minhash = b.minhash
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+    o["ann_bruteforce"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q_emb, c.embedding) AS cos
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+    o["ann_ivf"] = """
+WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, cell,
+         list_cosine_similarity(e.embedding, c_emb) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.embedding, c_emb) DESC, cell) AS rn
+  FROM embeddings e CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM assign_scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assigned WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q_emb, c.embedding) AS cos
+  FROM assigned c JOIN q USING (cell) WHERE c.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+    o["lang_id"] = """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+langs(lang_code, sw) AS (VALUES
+  ('de', ['der','die','und','das','von','mit','ein','zu']),
+  ('en', ['the','and','of','to','a','in','is','it']),
+  ('es', ['el','la','de','que','y','en','un','por']),
+  ('fr', ['le','la','de','et','un','en','que','pour'])),
+scores AS (
+  SELECT doc_id, lang_code,
+         CAST(len(list_filter(toks, t -> list_contains(sw, t))) AS INTEGER) AS hits
+  FROM tok CROSS JOIN langs
+),
+best AS (
+  SELECT doc_id, lang_code, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_code) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang_code ELSE 'und' END AS pred_lang, hits
+FROM best WHERE rn = 1
+"""
+    o["quality_scores"] = """
+WITH base AS (
+  SELECT doc_id, n_chars,
+         string_split(lower(text), ' ') AS toks,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+       CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+FROM base
+"""
+    o["fingerprint"] = """
+SELECT doc_id, sha256(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+FROM documents
+"""
+    return o

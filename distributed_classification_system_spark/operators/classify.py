@@ -31,6 +31,39 @@ from pyspark.sql import functions as F
 from distributed_classification_system_spark.functions.kernel import classify_expr, classify_udf
 
 
+DOC_LABELS = ["spark", "query", "join", "filter", "window"]
+
+
+def classify_documents(
+    documents: DataFrame,
+    labels: list[str] | None = None,
+    top_k: int = 3,
+    threshold: float = 0.25,
+    use_expr: bool = False,
+) -> DataFrame:
+    """The classification kernel applied to the driver's documents table
+    with a fixed config — the oracle-checkable form of the kernel (same
+    code path as the transcript pipeline, DuckDB-replicable semantics).
+
+    Returns flat columns; all_predictions is flattened to a label CSV so
+    the oracle hash never depends on nested-type encodings."""
+    labels = labels or DOC_LABELS
+    lab_col = F.array(*[F.lit(l) for l in labels])
+    k_col = F.lit(top_k)
+    thr_col = F.lit(threshold)
+    kern = classify_expr if use_expr else classify_udf
+    res = kern(F.col("text"), lab_col, k_col, thr_col)
+    return documents.select("doc_id", "lang", res.alias("r")).select(
+        "doc_id",
+        "lang",
+        "r.top_prediction",
+        "r.top_confidence",
+        F.concat_ws(",", F.transform("r.all_predictions", lambda p: p["label"])).alias("pred_labels"),
+        "r.reason",
+        "r.processing_time_ms",
+    )
+
+
 def classify_turns(
     transcripts: DataFrame,
     conv_config: DataFrame,

@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's idempotency dedup (A2, handlers.go:247-256), these
+are the standard corpus-dedup family, each designed scale-first:
+
+- exact dedup: hash-groupBy — one shuffle on the text hash, never on the
+  raw text (100 TB of text never moves as join keys).
+- n-gram Jaccard: shingle → inverted index self-join with blocking; the
+  candidate-pair space is bounded by shingle frequency capping (drop
+  ubiquitous shingles — they generate O(df²) pairs and no information).
+- MinHash/LSH: signatures via k independent min-hashes, band-bucket
+  equi-join; only candidates sharing a band bucket are compared.
+- SimHash: 64-bit fingerprints via per-token hash bit-voting (pandas UDF),
+  near-dup = small Hamming distance within same band.
+
+Hash choice for oracle parity: md5/sha2 — identical hex in Spark & DuckDB.
+Engine-internal paths use xxhash64 (faster, JVM-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups keyed by content hash; keeps the smallest doc_id
+    as canonical (deterministic survivor pick). Shuffles 32-byte hashes,
+    not documents."""
+    return (
+        documents.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per doc (the unit of Jaccard/MinHash)."""
+    toks = _tokens()
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        documents.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard similarity.
+
+    Inverted-index self-join: pairs sharing ≥1 (non-ubiquitous) shingle.
+    ``max_df`` caps shingle document frequency — a shingle occurring in f
+    docs produces f·(f-1)/2 candidate pairs, so frequency capping is what
+    keeps this sub-quadratic at corpus scale. Jaccard = |∩|/|∪| of
+    *distinct* shingles — an exact integer ratio (oracle-portable)."""
+    sh = shingles(documents, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
+        "shingle",
+    ).select("doc_id", "shingle")
+    inter = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 8) -> DataFrame:
+    """k-permutation MinHash: hash function i = md5(i || shingle); the
+    signature component is the minimum hash value. min() over strings is
+    deterministic and engine-portable. One row per (doc, i)."""
+    sh = shingles(documents, n)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("perm"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "perm",
+        F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(documents: DataFrame, n: int = 3, k: int = 8) -> DataFrame:
+    """LSH banding with band size 1: candidate pairs share at least one
+    minhash component; `n_bands_shared` estimates Jaccard as shared/k.
+    The join key is (perm, minhash) — tiny, uniform, skew-free."""
+    sig = minhash_signatures(documents, n, k)
+    return (
+        sig.alias("a")
+        .join(sig.alias("b"), ["perm", "minhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash fingerprint: per-token blake2b hash, bitwise majority
+    vote (vectorized over the Arrow batch). Near-dups differ in few bits."""
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, txt in enumerate(text):
+        tokens = (txt or "").lower().split()
+        if not tokens:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in tokens:
+            h = np.uint64(int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            votes += 2 * bits - 1
+        sh = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sh |= 1 << b
+        out[i] = sh - (1 << 64) if sh >= 1 << 63 else sh
+    return pd.Series(out)
+
+
+def simhash_near_dups(documents: DataFrame, band_bits: int = 16, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup candidates: block on each of 64/band_bits bands
+    (near-dups agree on ≥1 band by pigeonhole), verify Hamming ≤ max."""
+    sh = documents.select("doc_id", simhash64("text").alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
