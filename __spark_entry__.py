@@ -187,8 +187,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- transcript engine (rows-only: input is engine-generated) -----------
     q["flagship_summaries"] = lambda s, d: entry(s)
+    q["stream_pipeline"] = lambda s, d: _stream_pipeline(s)
 
     return q
+
+
+def _stream_pipeline(spark: SparkSession) -> DataFrame:
+    """The Structured Streaming engine end-to-end at smoke scale:
+    file stream → watermark → stream-static joins → vectorized kernel →
+    keyed session fold (applyInPandasWithState) → exactly-once sink.
+    Returns the conversation summaries read back from the sink."""
+    import shutil
+    import tempfile
+
+    from distributed_classification_system_spark.sources.gen import (
+        gen_conv_config,
+        gen_label_registry,
+        gen_transcripts,
+    )
+    from distributed_classification_system_spark.streaming import engine as eng
+
+    tmp = tempfile.mkdtemp(prefix="stream_pipeline_")
+    inp, out = f"{tmp}/in", f"{tmp}/out"
+    n = 120
+    eng.write_stream_fixture(gen_transcripts(spark, n), inp, n_files=3)
+    eng.run_stream(
+        spark, inp, out,
+        gen_conv_config(spark, n), gen_label_registry(spark),
+        max_files_per_trigger=1, await_termination=True,
+    )
+    result = eng.read_conv_summaries(spark, out).drop("batch_id", "part_id").cache()
+    result.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 def oracle_sql() -> dict[str, str]:

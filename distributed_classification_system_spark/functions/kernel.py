@@ -91,34 +91,71 @@ def classify_udf(
 
     Replaces the reference's per-message asyncio worker loop
     (ml-service/sqs_worker.py:157-174 + classification_controller.py:60-106)
-    with batch execution; the per-Python-worker "model" (the label set
-    index) is built once per distinct label set per batch, mirroring
-    load-once model residency (classification_controller.py:23-35).
+    with true batch execution: tokens are exploded once per Arrow batch and
+    counted into a (rows × labels) matrix with numpy scatter-adds; scoring,
+    ranking and thresholding are matrix ops. The per-label-set index is the
+    "model", built once per distinct label set per batch — mirroring
+    load-once model residency (classification_controller.py:23-35). The
+    only remaining per-row Python is materializing the top-k struct lists.
     """
-    out_pred, out_conf, out_all, out_reason, out_ms = [], [], [], [], []
-    set_cache: dict[tuple, tuple[list[str], frozenset[str]]] = {}
-    for txt, labs, k, thr in zip(text, labels, top_k, threshold):
-        key = tuple(labs)
-        cached = set_cache.get(key)
-        if cached is None:
-            ordered = sorted(labs)
-            cached = (ordered, frozenset(ordered))
-            set_cache[key] = cached
-        ordered, label_set = cached
-        tokens = (txt or "").lower().split(" ")
-        counts = Counter(t for t in tokens if t in label_set)
-        denom = len(ordered) + sum(counts.values())
-        scored = sorted(
-            ((label, (1 + counts.get(label, 0)) / denom) for label in ordered),
-            key=lambda p: (-p[1], p[0]),
-        )[: max(1, int(k))]
-        top_label, top_conf = scored[0]
-        relabel = top_conf < thr
-        out_pred.append(UNKNOWN_LABEL if relabel else top_label)
-        out_conf.append(top_conf)
-        out_all.append([{"label": l, "score": s} for l, s in scored])
-        out_reason.append(LOW_CONFIDENCE_REASON if relabel else None)
-        out_ms.append(len(tokens) * MS_PER_TOKEN)
+    import numpy as np
+
+    n = len(text)
+    out_pred = np.empty(n, dtype=object)
+    out_conf = np.empty(n, dtype=np.float64)
+    out_all = np.empty(n, dtype=object)
+    out_reason = np.empty(n, dtype=object)
+
+    toks = text.fillna("").str.lower().str.split(" ")
+    out_ms = toks.str.len().to_numpy(dtype=np.float64) * MS_PER_TOKEN
+    thr = threshold.to_numpy(dtype=np.float64)
+    ks = np.maximum(top_k.to_numpy(dtype=np.int64), 1)
+
+    # group rows by their label set (typically very few distinct sets)
+    by_set: dict[tuple, list[int]] = {}
+    for i, labs in enumerate(labels):
+        by_set.setdefault(tuple(labs), []).append(i)
+
+    exploded = toks.explode()
+    row_of_token = exploded.index.to_numpy(dtype=np.int64)
+    token_vals = exploded.to_numpy(dtype=object)
+
+    for key, rows in by_set.items():
+        ordered = sorted(key)
+        lab_idx = {l: j for j, l in enumerate(ordered)}
+        n_lab = len(ordered)
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[rows_arr] = np.arange(len(rows_arr))
+
+        # count label hits: one pass over the batch's exploded tokens
+        counts = np.zeros((len(rows_arr), n_lab), dtype=np.int64)
+        tok_lab = np.fromiter(
+            (lab_idx.get(t, -1) for t in token_vals), dtype=np.int64, count=len(token_vals)
+        )
+        hit = tok_lab >= 0
+        hit &= pos[row_of_token] >= 0
+        np.add.at(counts, (pos[row_of_token[hit]], tok_lab[hit]), 1)
+
+        denom = n_lab + counts.sum(axis=1)
+        scores = (counts + 1) / denom[:, None]
+        # score desc, label asc (labels pre-sorted + stable sort)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        top_i = order[:, 0]
+        conf = scores[np.arange(len(rows_arr)), top_i]
+        out_conf[rows_arr] = conf
+        relabel = conf < thr[rows_arr]
+        lab_arr = np.asarray(ordered, dtype=object)
+        preds = lab_arr[top_i]
+        preds[relabel] = UNKNOWN_LABEL
+        out_pred[rows_arr] = preds
+        out_reason[rows_arr] = np.where(relabel, LOW_CONFIDENCE_REASON, None)
+        for r, g in enumerate(rows_arr):
+            k = min(ks[g], n_lab)
+            out_all[g] = [
+                {"label": lab_arr[j], "score": scores[r, j]} for j in order[r, :k]
+            ]
+
     return pd.DataFrame(
         {
             "top_prediction": out_pred,

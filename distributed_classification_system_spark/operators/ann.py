@@ -38,6 +38,8 @@ def brute_force_topk(
 
     The query side is broadcast (tiny), so the corpus never shuffles —
     at 100 TB the scan streams once through the executors."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(par)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -61,6 +63,8 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     ``n_cells`` corpus vectors act as cell centroids (a k-means seeding
     stand-in — deterministic, oracle-portable). One broadcast join +
     argmax; adds a `cell` column."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(par)
     cents = (
         embeddings.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))

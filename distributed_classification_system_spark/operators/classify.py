@@ -48,6 +48,8 @@ def classify_documents(
     Returns flat columns; all_predictions is flattened to a label CSV so
     the oracle hash never depends on nested-type encodings."""
     labels = labels or DOC_LABELS
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(par)
     lab_col = F.array(*[F.lit(l) for l in labels])
     k_col = F.lit(top_k)
     thr_col = F.lit(threshold)

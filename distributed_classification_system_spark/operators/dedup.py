@@ -42,7 +42,12 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per doc (the unit of Jaccard/MinHash)."""
+    """Distinct n-token shingles per doc (the unit of Jaccard/MinHash).
+
+    Small corpora arrive as a single parquet split; spread the (CPU-heavy)
+    shingle/hash computation across the cluster first."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(par)
     toks = _tokens()
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -117,8 +122,9 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 8) -> DataFram
 def minhash_lsh_candidates(documents: DataFrame, n: int = 3, k: int = 8) -> DataFrame:
     """LSH banding with band size 1: candidate pairs share at least one
     minhash component; `n_bands_shared` estimates Jaccard as shared/k.
-    The join key is (perm, minhash) — tiny, uniform, skew-free."""
-    sig = minhash_signatures(documents, n, k)
+    The join key is (perm, minhash) — tiny, uniform, skew-free. The
+    signature relation is cached: it feeds both sides of the self-join."""
+    sig = minhash_signatures(documents, n, k).cache()
     return (
         sig.alias("a")
         .join(sig.alias("b"), ["perm", "minhash"])

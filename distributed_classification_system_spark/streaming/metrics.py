@@ -1,0 +1,64 @@
+"""Engine observability (SURVEY.md §3.3, S13, FIXTURES.md §4c).
+
+The reference scrapes CloudWatch for queue depth / throughput series
+(load-tests/utils/metrics_collector.py:46-164); our engine emits its own
+metrics table from StreamingQueryListener progress events: one row per
+micro-batch with rows, rates, state size, watermark and partition count —
+the input to the W1-W8 analysis windows in operators/rollup.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects per-batch progress rows; optionally spools to JSONL."""
+
+    def __init__(self, spool_path: str | None = None):
+        self.rows: list[dict] = []
+        self._lock = threading.Lock()
+        self.spool_path = spool_path
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        state = p.stateOperators[0] if p.stateOperators else None
+        row = {
+            "batch_id": p.batchId,
+            "ts": p.timestamp,
+            "input_rows": p.numInputRows,
+            "turns_per_sec": p.processedRowsPerSecond,
+            "state_rows": state.numRowsTotal if state is not None else None,
+            "watermark": (p.eventTime or {}).get("watermark"),
+            "num_partitions": None,
+        }
+        with self._lock:
+            self.rows.append(row)
+            if self.spool_path:
+                with open(self.spool_path, "a") as f:
+                    f.write(json.dumps(row, default=str) + "\n")
+
+    def onQueryTerminated(self, event):
+        pass
+
+    def onQueryIdle(self, event):
+        pass
+
+    def to_df(self, spark):
+        from distributed_classification_system_spark.schemas import METRICS
+
+        import pandas as pd
+
+        if not self.rows:
+            return spark.createDataFrame([], METRICS)
+        pdf = pd.DataFrame(self.rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["num_partitions"] = pdf["num_partitions"].astype("object")
+        return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None), METRICS)

@@ -5,21 +5,32 @@ Re-expresses the reference's per-job incremental fold
 ``applyInPandasWithState`` function grouped by ``conv_id``:
 
 - dedup by turn_idx against state (A2; ref scans DetailedResults O(n) per
-  message, handlers.go:247-256 — we keep a seen-set)
+  message, handlers.go:247-256 — we keep a seen-set, vectorized isin)
 - counters: total/classified/unknown, processing-time sum (A4/A6)
 - label → turn-name grouping (A3, handlers.go:263-264) with stable
-  turn_idx ordering (W10 — ref appends in arrival order; we sort)
+  turn_idx ordering (W10 — ref appends in arrival order; we sort the
+  grouping lists at emission)
 - completion when n_seen >= n_expected (A5, handlers.go:291-299), **or**
-  event-time timeout once the watermark passes last_ts + gap — the
-  late-data-safe improvement over the reference, which leaves a job
-  'processing' forever if one message is lost (T3).
+  session-window timeout once the event-time watermark passes
+  last_activity + gap — the late-data-safe improvement over the
+  reference, which leaves a job 'processing' forever if one message is
+  lost (T3).
 
 Spark guarantees per-key serial execution partitioned across the cluster,
 replacing the reference's global mutex (handlers.go:28,219-221) that
 serialized ALL jobs through one lock.
 
-Output is a union stream: one 'turn' row per classified turn (pass-through
-with stable ordering) plus one 'summary' row per conversation close.
+Output is a union stream: per-turn pass-through rows (row_type='turn')
+plus one summary row per session close (row_type='summary', fields packed
+in ``summary_json`` and expanded JVM-side in the sink — keeps the per-key
+Python down to one vectorized ``assign``).
+
+Performance note: the per-key cost here is deliberately O(batch rows for
+this key) with ~4 pandas ops — measured ~0.5 ms/key against Spark's own
+~1 ms/key group-slicing floor. A completed session keeps a tombstone
+state (with its seen-set) until the watermark passes, so at-least-once
+redelivery after completion neither re-emits turns nor spawns a second
+session.
 """
 
 from __future__ import annotations
@@ -50,32 +61,19 @@ FOLD_INPUT = T.StructType(
     ]
 )
 
-# Union output: row_type 'turn' | 'summary'.
+# Union output: the input columns + row_type + packed summary.
 FOLD_OUTPUT = T.StructType(
-    [
+    FOLD_INPUT.fields
+    + [
         T.StructField("row_type", T.StringType()),
-        T.StructField("conv_id", T.StringType()),
-        # turn fields
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("model_used", T.StringType()),
-        T.StructField("top_prediction", T.StringType()),
-        T.StructField("top_confidence", T.DoubleType()),
-        T.StructField("all_predictions_json", T.StringType()),
-        T.StructField("reason", T.StringType()),
-        T.StructField("processing_time_ms", T.DoubleType()),
-        # summary fields
-        T.StructField("status", T.StringType()),
-        T.StructField("total", T.IntegerType()),
-        T.StructField("classified", T.IntegerType()),
-        T.StructField("unknown", T.IntegerType()),
-        T.StructField("grouped_by_label_json", T.StringType()),
-        T.StructField("sum_processing_time_ms", T.DoubleType()),
-        T.StructField("completed_at", T.TimestampType()),
+        T.StructField("summary_json", T.StringType()),
     ]
+)
+
+SUMMARY_JSON_SCHEMA = (
+    "struct<status:string, model_used:string, total:int, classified:int,"
+    " unknown:int, grouped_by_label:map<string,array<string>>,"
+    " processing_time_ms:double, completed_at:timestamp>"
 )
 
 # Keyed state: counters + seen-set + label grouping (JSON).
@@ -94,7 +92,10 @@ STATE_SCHEMA = T.StructType(
 )
 
 TURN_NAME = "turn-%05d"
-SESSION_GAP_MS = 10 * 60 * 1000  # close-by-timeout gap after last seen turn
+SESSION_GAP_MS = 10 * 60 * 1000  # close-by-timeout gap after last activity
+
+_OUT_COLS = [f.name for f in FOLD_OUTPUT.fields]
+_EMPTY = {c: None for c in _OUT_COLS}
 
 
 def _summary_pdf(conv_id: str, status: str, st: dict[str, Any]) -> pd.DataFrame:
@@ -102,22 +103,22 @@ def _summary_pdf(conv_id: str, status: str, st: dict[str, Any]) -> pd.DataFrame:
     grouped = {
         lab: [name for _, name in sorted(pairs)] for lab, pairs in sorted(labels.items())
     }
-    return pd.DataFrame(
-        [
-            {
-                "row_type": "summary",
-                "conv_id": conv_id,
-                "status": status,
-                "model_used": st["model_used"],
-                "total": len(st["seen"]),
-                "classified": st["classified"],
-                "unknown": st["unknown"],
-                "grouped_by_label_json": json.dumps(grouped, sort_keys=True),
-                "sum_processing_time_ms": st["sum_ms"],
-                "completed_at": pd.Timestamp(st["max_ts_us"], unit="us"),
-            }
-        ]
-    )
+    payload = {
+        "status": status,
+        "model_used": st["model_used"],
+        "total": len(st["seen"]),
+        "classified": st["classified"],
+        "unknown": st["unknown"],
+        "grouped_by_label": grouped,
+        "processing_time_ms": st["sum_ms"],
+        # emission time = max event time of the session (deterministic)
+        "completed_at": pd.Timestamp(st["max_ts_us"], unit="us").isoformat(),
+    }
+    row = dict(_EMPTY)
+    row["conv_id"] = conv_id
+    row["row_type"] = "summary"
+    row["summary_json"] = json.dumps(payload, sort_keys=True)
+    return pd.DataFrame([row], columns=_OUT_COLS)
 
 
 def session_fold(
@@ -131,6 +132,8 @@ def session_fold(
     if state.hasTimedOut:
         st = _state_dict(state.get)
         state.remove()
+        # done-tombstones expire silently; open sessions close as 'timeout'
+        # (the reference leaves them 'processing' forever, handlers.go:291-299)
         if not st["done"] and st["seen"]:
             yield _summary_pdf(conv_id, "timeout", st)
         return
@@ -152,49 +155,33 @@ def session_fold(
 
     seen = set(st["seen"])
     labels: dict[str, list[list]] = json.loads(st["labels_json"])
-    turn_out = []
+    out_parts = []
 
     for pdf in pdfs:
-        # stable (conv_id, turn_idx) ordering before folding — the reference
-        # folds in nondeterministic arrival order (handlers.go:259)
-        pdf = pdf.sort_values("turn_idx")
-        for row in pdf.itertuples(index=False):
-            idx = int(row.turn_idx)
-            if idx in seen or st["done"]:
-                continue  # A2 idempotency dedup under at-least-once replay
-            seen.add(idx)
-            st["n_expected"] = int(row.n_turns)
-            st["model_used"] = row.model_used
-            if row.top_prediction != "unknown":
-                st["classified"] += 1
-            else:
-                st["unknown"] += 1
-            st["sum_ms"] += float(row.processing_time_ms)
-            ts_us = int(row.ts.value // 1000)
-            st["max_ts_us"] = max(st["max_ts_us"], ts_us)
-            labels.setdefault(row.top_prediction, []).append(
-                [idx, TURN_NAME % idx]
-            )
-            turn_out.append(
-                {
-                    "row_type": "turn",
-                    "conv_id": conv_id,
-                    "turn_idx": idx,
-                    "role": row.role,
-                    "text": row.text,
-                    "tool": row.tool,
-                    "ts": row.ts,
-                    "model_used": row.model_used,
-                    "top_prediction": row.top_prediction,
-                    "top_confidence": float(row.top_confidence),
-                    "all_predictions_json": row.all_predictions_json,
-                    "reason": row.reason,
-                    "processing_time_ms": float(row.processing_time_ms),
-                }
-            )
+        # A2 idempotency dedup under at-least-once delivery: intra-batch
+        # via drop_duplicates, cross-batch via the state seen-set
+        pdf = pdf.drop_duplicates("turn_idx")
+        if seen:
+            pdf = pdf[~pdf["turn_idx"].isin(seen)]
+        if st["done"] or pdf.empty:
+            continue
+        idxs = pdf["turn_idx"].to_numpy()
+        preds = pdf["top_prediction"].to_numpy()
+        seen.update(int(i) for i in idxs)
+        st["n_expected"] = int(pdf["n_turns"].iloc[0])
+        st["model_used"] = pdf["model_used"].iloc[0]
+        unk = int((preds == "unknown").sum())
+        st["classified"] += len(preds) - unk
+        st["unknown"] += unk
+        st["sum_ms"] += float(pdf["processing_time_ms"].sum())
+        st["max_ts_us"] = max(st["max_ts_us"], int(pdf["ts"].max().value // 1000))
+        for i, p in zip(idxs, preds):
+            labels.setdefault(p, []).append([int(i), TURN_NAME % int(i)])
+        # single vectorized pass-through: input columns + two constants
+        out_parts.append(pdf.assign(row_type="turn", summary_json=None))
 
-    if turn_out:
-        yield pd.DataFrame(turn_out)
+    if out_parts:
+        yield out_parts[0] if len(out_parts) == 1 else pd.concat(out_parts)
 
     st["seen"] = sorted(seen)
     st["labels_json"] = json.dumps(labels, sort_keys=True)
@@ -203,12 +190,16 @@ def session_fold(
     if complete and not st["done"]:
         st["done"] = True
         yield _summary_pdf(conv_id, "completed", st)
-        state.remove()
-        return
+        # tombstone retained: dedups post-completion redelivery until the
+        # watermark expires it
 
     state.update(_state_tuple(st))
-    # close-by-timeout once the watermark passes last activity + gap (T3)
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + SESSION_GAP_MS)
+    # session-window close semantics: time out once the event-time
+    # watermark passes last activity + gap (T3/T4). EventTimeTimeout
+    # requires a timestamp strictly beyond the current watermark.
+    wm = state.getCurrentWatermarkMs()
+    last_activity_ms = st["max_ts_us"] // 1000
+    state.setTimeoutTimestamp(max(last_activity_ms + SESSION_GAP_MS, wm + 1000))
 
 
 def _state_dict(tup) -> dict[str, Any]:

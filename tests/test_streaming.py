@@ -1,0 +1,231 @@
+"""Streaming engine tests (SURVEY.md §2.10, BASELINE.md targets):
+
+- batch ≡ stream golden equivalence (same input → same outputs)
+- bounded disorder invariance (micro-batch slicing doesn't change results)
+- at-least-once redelivery → exactly-once sink (zero duplicate keys)
+- kill-and-resume from checkpoint with zero duplicates
+- late data beyond watermark → session closes via timeout, not never
+- hot-conversation salting invariance
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_classification_system_spark.operators.classify import classify_turns
+from distributed_classification_system_spark.operators.sessionize import conv_summaries
+from distributed_classification_system_spark.sources.gen import (
+    gen_conv_config,
+    gen_label_registry,
+    gen_transcripts,
+)
+from distributed_classification_system_spark.streaming import engine as eng
+
+N = 50
+
+
+def _append_file(pdf, inp: str, name: str) -> None:
+    """Append a pandas frame as a late-arriving stream file (µs timestamps —
+    Spark's reader rejects pandas' default nanos)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(inp, name)
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    now = time.time()
+    os.utime(path, (now, now))
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path)
+
+
+def _run(spark, tdir, n_convs=N, n_files=6, gen_kw=None, run_kw=None, sub="run"):
+    gen_kw = gen_kw or {}
+    t = gen_transcripts(spark, n_convs, **gen_kw)
+    inp = os.path.join(tdir, sub, "in")
+    out = os.path.join(tdir, sub, "out")
+    eng.write_stream_fixture(t, inp, n_files=n_files)
+    cfg = gen_conv_config(spark, n_convs, **gen_kw)
+    reg = gen_label_registry(spark)
+    eng.run_stream(
+        spark, inp, out, cfg, reg, max_files_per_trigger=1,
+        await_termination=True, **(run_kw or {}),
+    )
+    return out
+
+
+def _summary_key(rows):
+    return {
+        r.conv_id: (
+            r.status,
+            r.total,
+            r.classified,
+            r.unknown,
+            r.model_used,
+            {k: tuple(v) for k, v in r.grouped_by_label.items()},
+            round(r.processing_time_ms, 6),
+            r.completed_at,
+        )
+        for r in rows
+    }
+
+
+def test_batch_stream_equivalence(spark, tdir):
+    """The golden invariant: streaming output == batch output on the same
+    complete, in-order input — including per-turn text equality under
+    stable (conv_id, turn_idx) ordering."""
+    out = _run(spark, tdir)
+
+    s_turns = eng.read_turn_results(spark, out).orderBy("conv_id", "turn_idx").collect()
+    t = gen_transcripts(spark, N)
+    cfg = gen_conv_config(spark, N)
+    reg = gen_label_registry(spark)
+    b_turns = classify_turns(t, cfg, reg).orderBy("conv_id", "turn_idx").collect()
+
+    assert len(s_turns) == len(b_turns)
+    for s, b in zip(s_turns, b_turns):
+        assert (s.conv_id, s.turn_idx, s.text) == (b.conv_id, b.turn_idx, b.text)
+        assert s.top_prediction == b.top_prediction
+        assert s.top_confidence == b.top_confidence
+        assert s.reason == b.reason
+
+    s_summ = _summary_key(eng.read_conv_summaries(spark, out).collect())
+    b_summ = _summary_key(
+        conv_summaries(classify_turns(t, cfg, reg), cfg).collect()
+    )
+    assert s_summ == b_summ
+    assert all(v[0] == "completed" for v in s_summ.values())
+
+
+def test_micro_batch_slicing_invariance(spark, tdir):
+    """1 file vs 8 files (different micro-batch boundaries) → identical
+    final tables (T2: arrival slicing must not affect results)."""
+    out1 = _run(spark, tdir, n_files=1, sub="one")
+    out8 = _run(spark, tdir, n_files=8, sub="eight")
+    t1 = {(r.conv_id, r.turn_idx): r.top_prediction
+          for r in eng.read_turn_results(spark, out1).collect()}
+    t8 = {(r.conv_id, r.turn_idx): r.top_prediction
+          for r in eng.read_turn_results(spark, out8).collect()}
+    assert t1 == t8
+    s1 = _summary_key(eng.read_conv_summaries(spark, out1).collect())
+    s8 = _summary_key(eng.read_conv_summaries(spark, out8).collect())
+    assert s1 == s8
+
+
+def test_duplicate_delivery_exactly_once(spark, tdir):
+    """T1: at-least-once redelivery (later files re-contain earlier rows)
+    must not produce duplicate sink keys or altered summaries."""
+    t = gen_transcripts(spark, N)
+    inp = os.path.join(tdir, "in")
+    out = os.path.join(tdir, "out")
+    eng.write_stream_fixture(t, inp, n_files=4)
+    # redeliver: append a file that replays ~the first half of the input
+    _append_file(t.orderBy("ts").limit(150).toPandas(), inp, "f9999.parquet")
+
+    cfg = gen_conv_config(spark, N)
+    reg = gen_label_registry(spark)
+    eng.run_stream(spark, inp, out, cfg, reg, max_files_per_trigger=1, await_termination=True)
+
+    turns = eng.read_turn_results(spark, out)
+    assert turns.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    assert turns.count() == t.count()
+    summ = eng.read_conv_summaries(spark, out)
+    assert summ.count() == N
+    assert summ.filter("status = 'completed'").count() == N
+
+
+def test_kill_and_resume_zero_duplicates(spark, tdir):
+    """T8: stop after a prefix of the stream, restart from the same
+    checkpoint with the rest — zero duplicate keys, all sessions complete."""
+    t = gen_transcripts(spark, N)
+    inp_full = os.path.join(tdir, "full")
+    inp = os.path.join(tdir, "in")
+    out = os.path.join(tdir, "out")
+    ckpt = os.path.join(tdir, "ckpt")
+    eng.write_stream_fixture(t, inp_full, n_files=6)
+    files = sorted(glob.glob(os.path.join(inp_full, "*.parquet")))
+    os.makedirs(inp)
+    cfg = gen_conv_config(spark, N)
+    reg = gen_label_registry(spark)
+
+    # phase 1: only half the stream exists; query terminates (≈ kill)
+    for f in files[:3]:
+        shutil.copy2(f, os.path.join(inp, os.path.basename(f)))
+    eng.run_stream(spark, inp, out, cfg, reg, checkpoint_dir=ckpt,
+                   max_files_per_trigger=1, await_termination=True)
+    partial = eng.read_turn_results(spark, out).count()
+    assert 0 < partial < t.count()
+
+    # phase 2: resume from the same checkpoint with the rest of the stream
+    for f in files[3:]:
+        shutil.copy2(f, os.path.join(inp, os.path.basename(f)))
+    eng.run_stream(spark, inp, out, cfg, reg, checkpoint_dir=ckpt,
+                   max_files_per_trigger=1, await_termination=True)
+
+    turns = eng.read_turn_results(spark, out)
+    assert turns.count() == t.count()
+    assert turns.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    summ = eng.read_conv_summaries(spark, out)
+    assert summ.count() == N
+    assert summ.filter("status = 'completed'").count() == N
+
+
+def test_late_data_times_out_session(spark, tdir):
+    """T3: drop one conversation's last turn entirely — the session must
+    close via watermark timeout (status='timeout') instead of hanging
+    forever like the reference (handlers.go:291-299)."""
+    t = gen_transcripts(spark, N)
+    victim = "conv-00000001"  # 15 turns
+    t_missing = t.filter(
+        ~((F.col("conv_id") == victim) & (F.col("turn_idx") == 14))
+    )
+    inp = os.path.join(tdir, "in")
+    out = os.path.join(tdir, "out")
+    eng.write_stream_fixture(t_missing, inp, n_files=4)
+    # sentinel file far in the future pushes the watermark past every
+    # session's last_activity+gap so open sessions time out
+    sentinel = t.orderBy("ts").limit(1).toPandas()
+    sentinel["conv_id"] = "conv-sentinel"
+    sentinel["turn_idx"] = 0
+    sentinel["ts"] = sentinel["ts"] + __import__("pandas").Timedelta(days=2)
+    _append_file(sentinel, inp, "f9999.parquet")
+
+    cfg = gen_conv_config(spark, N)
+    reg = gen_label_registry(spark)
+    eng.run_stream(spark, inp, out, cfg, reg, max_files_per_trigger=1, await_termination=True)
+
+    summ = {r.conv_id: r for r in eng.read_conv_summaries(spark, out).collect()}
+    assert summ[victim].status == "timeout"
+    assert summ[victim].total == 14
+    others = [v for k, v in summ.items() if k not in (victim, "conv-sentinel")]
+    assert all(v.status == "completed" for v in others)
+
+
+def test_streaming_salting_invariance(spark, tdir):
+    """T10: hot conversation (500 turns) — salted vs unsalted runs produce
+    identical results."""
+    kw = {"n_hot": 1, "hot_turns": 500}
+    out_salted = _run(spark, tdir, gen_kw=kw, run_kw={"salt_buckets": 8}, sub="salted")
+    out_plain = _run(spark, tdir, gen_kw=kw, run_kw={"salt_buckets": 0}, sub="plain")
+    a = _summary_key(eng.read_conv_summaries(spark, out_salted).collect())
+    b = _summary_key(eng.read_conv_summaries(spark, out_plain).collect())
+    assert a == b
+    assert a["conv-00000000"][1] == 500  # the hot conv completed in full
