@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_classification_system_spark.operators import ann as _ann
+from distributed_classification_system_spark.operators import interp as _interp
 from distributed_classification_system_spark.operators import dedup as _dedup
 from distributed_classification_system_spark.operators import joins as _joins
 from distributed_classification_system_spark.operators import rollup as _rollup
@@ -124,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["threshold_relabel"] = lambda s, d: _serve.threshold_relabel(_t(s, d, "events"))
     q["summary_projection"] = lambda s, d: _serve.summary_projection(_t(s, d, "documents"))
     q["content_type_map"] = lambda s, d: _serve.content_type_map(_t(s, d, "documents"))
+    q["sanitize_keys"] = lambda s, d: _serve.sanitize_keys(_t(s, d, "documents"))
+    q["display_topn"] = lambda s, d: _serve.display_topn(_t(s, d, "documents"))
 
     # --- aggregations / statistics (A7-A13) -------------------------------
     q["desc_stats"] = lambda s, d: _rollup.desc_stats(_t(s, d, "events"))
@@ -143,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["topk_per_group"] = lambda s, d: _rollup.topk_per_group(_t(s, d, "events"))
     q["asof_join"] = lambda s, d: _rollup.asof_join(_t(s, d, "events"))
+    q["interp_align"] = lambda s, d: _interp.interpolate_series(_t(s, d, "events"))
 
     # --- joins (J1-J6) ------------------------------------------------------
     q["dim_join_rollup"] = lambda s, d: _joins.dim_join_rollup(
@@ -290,6 +294,23 @@ SELECT CASE WHEN source = 'src0' THEN 'image/jpeg'
 FROM documents GROUP BY 1
 """
 
+    o["sanitize_keys"] = """
+SELECT doc_id,
+       concat(source, '/', doc_id, '.txt') AS s3_key,
+       concat(doc_id, '.txt') AS filename,
+       replace(replace(lang, ' ', '_'), '/', '_') AS sanitized_lang,
+       concat(substring(sha256(text), 1, 8), '-', doc_id, '.txt') AS unique_key
+FROM documents
+"""
+    o["display_topn"] = """
+WITH grouped AS (SELECT lang, list_sort(list(doc_id)) AS ids FROM documents GROUP BY lang)
+SELECT lang,
+       CAST(len(ids) AS INTEGER) AS n_docs,
+       array_to_string(ids[1:10], ',') AS first_ids,
+       CAST(greatest(0, len(ids) - 10) AS INTEGER) AS n_more
+FROM grouped
+"""
+
     o["desc_stats"] = """
 SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v
@@ -384,6 +405,47 @@ WITH tagged AS (
 )
 SELECT user_id, event_id, ts, value AS left_value, asof_value
 FROM tagged WHERE event_type = 'error'
+"""
+
+    o["interp_align"] = """
+WITH data AS (
+  SELECT event_type, ts, min(value) AS value FROM events GROUP BY event_type, ts
+),
+bounds AS (
+  SELECT event_type,
+         CASE WHEN min(ts) = date_trunc('minute', min(ts)) THEN date_trunc('minute', min(ts))
+              ELSE date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE END AS gstart,
+         date_trunc('minute', max(ts)) AS gend,
+         count(*) AS npts
+  FROM data GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(gstart, gend, INTERVAL 1 MINUTE)) AS grid_ts
+  FROM bounds WHERE npts >= 2 AND gstart <= gend
+),
+unioned AS (
+  SELECT event_type, ts AS ets, CAST(NULL AS TIMESTAMP) AS grid_ts, ts AS dts, value FROM data
+  UNION ALL
+  SELECT event_type, grid_ts AS ets, grid_ts, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE) FROM grid
+),
+marked AS (
+  SELECT event_type, grid_ts,
+    last_value(dts IGNORE NULLS) OVER w AS t0,
+    last_value(value IGNORE NULLS) OVER w AS v0,
+    first_value(dts IGNORE NULLS) OVER w2 AS t1,
+    first_value(value IGNORE NULLS) OVER w2 AS v1
+  FROM unioned
+  WINDOW
+    w AS (PARTITION BY event_type ORDER BY ets, (grid_ts IS NOT NULL)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w2 AS (PARTITION BY event_type ORDER BY ets, (grid_ts IS NOT NULL)
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, grid_ts,
+  CASE WHEN epoch_us(grid_ts) = epoch_us(t0) THEN v0
+       ELSE v0 + (v1 - v0) * (CAST(epoch_us(grid_ts) - epoch_us(t0) AS DOUBLE)
+                              / (epoch_us(t1) - epoch_us(t0))) END AS value_interp
+FROM marked WHERE grid_ts IS NOT NULL
 """
 
     o["dim_join_rollup"] = """

@@ -85,6 +85,37 @@ def summary_projection(documents: DataFrame) -> DataFrame:
     )
 
 
+def sanitize_keys(documents: DataFrame) -> DataFrame:
+    """P8/P9: filename extraction + sanitization + deterministic unique-key
+    synthesis (reference handlers.go:385-397 uses timestamp+uuid8; we derive
+    the suffix from sha2(content) for reproducibility)."""
+    path = F.concat_ws("/", F.col("source"), F.concat(F.col("doc_id").cast("string"), F.lit(".txt")))
+    filename = F.element_at(F.split(path, "/"), -1)
+    sanitized = F.regexp_replace(F.regexp_replace(F.col("lang"), " ", "_"), "/", "_")
+    return documents.select(
+        "doc_id",
+        path.alias("s3_key"),
+        filename.alias("filename"),
+        sanitized.alias("sanitized_lang"),
+        F.concat(F.substring(F.sha2(F.col("text"), 256), 1, 8), F.lit("-"), filename).alias("unique_key"),
+    )
+
+
+def display_topn(documents: DataFrame, n: int = 10) -> DataFrame:
+    """A13/W11: per-group display truncation — first n members plus an
+    'and K more' count (streamlit-app/app.py:637-650)."""
+    return (
+        documents.groupBy("lang")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            "lang",
+            F.size("ids").alias("n_docs"),
+            F.concat_ws(",", F.transform(F.slice("ids", 1, n), lambda x: x.cast("string"))).alias("first_ids"),
+            F.greatest(F.lit(0), F.size("ids") - n).alias("n_more"),
+        )
+    )
+
+
 def content_type_map(documents: DataFrame) -> DataFrame:
     """P11 extension→MIME mapping shape (load-tests/utils/s3_helper.py:70-81)
     as a CASE map over the source column."""

@@ -40,7 +40,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # smaller splits than the 128m default: local-scale inputs are a
+        # few GB and the kernel runs on scan partitions — keep every core
+        # fed. On a real 100 TB cluster the default is fine.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
+    # Single-box fidelity: on a real cluster every executor has its own
+    # local disk, so shuffle/spill I/O scales with the node count. On this
+    # one machine the lone disk would serialize all 32 threads — put
+    # shuffle/spill on tmpfs (the moral equivalent of per-node NVMe).
+    if os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

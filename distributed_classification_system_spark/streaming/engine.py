@@ -1,21 +1,28 @@
 """The Structured Streaming CEP engine (SURVEY.md §3.1 restated).
 
-Pipeline (one streaming query, one state store, one pass):
+Pipeline (one streaming query, one state store, one shuffle, one write):
 
-    readStream(transcripts) ──watermark(ts)──▶ stream-static join
-      (conv_config on conv_id, broadcast registry on job_type)
-      ──▶ salted repartition (hot-conv skew defense, T10)
-      ──▶ vectorized classification (Arrow pandas UDF, K1-K6/P6)
-      ──▶ groupBy(conv_id).applyInPandasWithState(session_fold)  [A1-A6, T5]
-      ──▶ foreachBatch: idempotent batch-id-partitioned sink      [S6/T1]
-            ├── turn_results  (exactly-once keyed (conv_id, turn_idx))
-            └── conv_summaries (completed | timeout sessions)
+    readStream(transcripts) ──watermark(ts)──▶ broadcast stream-static
+      joins (conv_config on conv_id, label registry on job_type)
+      ──▶ vectorized classification on scan partitions (Arrow pandas UDF,
+          K1-K6/P6 — no shuffle before the kernel)
+      ──▶ exchange on bucket = hash(conv_id) % B
+      ──▶ applyInPandasWithState(bucket_session_fold)            [A1-A6, T5]
+      ──▶ foreachBatch: ONE idempotent batch-id/row_type-partitioned
+          write                                                   [S6/T1]
+            ├── row_type=turn     (exactly-once keyed (conv_id, turn_idx))
+            └── row_type=summary  (completed | timeout sessions)
 
 Replaces the reference's SQS long-poll loop + goroutine fold + DynamoDB
 upserts (ml-service/sqs_worker.py:142-174, backend-service/handlers/
 handlers.go:192-304): micro-batches ≈ receive batches, checkpoint WAL ≈
 queue persistence, state store ≈ job table, watermark timeout ≈ the
 missing-message recovery the reference lacks.
+
+Local-mode performance note: sustained disk writeback is the binding
+resource here (burst ~1.9 GB/s, sustained far less), so the plan
+minimizes bytes written — one shuffle, one sink pass, no persist.
+On a real cluster the same shape minimizes network bytes instead.
 """
 
 from __future__ import annotations
@@ -24,31 +31,63 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from distributed_classification_system_spark.functions.kernel import classify_udf
 from distributed_classification_system_spark.schemas import TRANSCRIPTS
-from distributed_classification_system_spark.streaming import sink as _sink
+
 from distributed_classification_system_spark.streaming.state import (
+    BUCKET_STATE_SCHEMA,
     FOLD_OUTPUT,
     STATE_SCHEMA,
+    bucket_session_fold,
     session_fold,
 )
 
 WATERMARK_DELAY = "5 minutes"
+DEFAULT_FOLD_BUCKETS = 256
 
 
 def classified_stream(
     stream: DataFrame,
     conv_config: DataFrame,
     registry: DataFrame,
-    salt_buckets: int = 8,
+    salt_buckets: int | None = None,
     watermark: str = WATERMARK_DELAY,
+    dedup_within_watermark: bool = False,
 ) -> DataFrame:
-    """watermark → stream-static joins → salted repartition → kernel."""
+    """watermark → [native dedup] → stream-static joins → kernel
+    (scan-partition parallel).
+
+    Both static sides broadcast: the registry is tiny and conv_config is a
+    compact per-conversation parameter table (at 10^8-conversation scale
+    conv_config would instead be bucket-joined or derived in-row — the
+    seam is this select). The kernel therefore runs on scan partitions
+    with NO shuffle before it; the only shuffle in the whole pipeline is
+    the bucket exchange feeding the keyed fold. ``salt_buckets`` keeps the
+    T10 salting available for the per-conversation fold mode, where a hot
+    conv_id would otherwise pin one task; the default bucketed fold spreads
+    the kernel work by scan partition already, so it defaults off."""
     df = stream.withWatermark("ts", watermark)
+    if dedup_within_watermark:
+        # native JVM stateful dedup — the at-least-once redelivery guard
+        # runs BEFORE the kernel so duplicates are never classified twice
+        df = df.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     df = df.join(
-        conv_config.select("conv_id", "job_type", "top_k", "confidence_threshold", "n_turns"),
+        F.broadcast(
+            conv_config.select("conv_id", "job_type", "top_k", "confidence_threshold", "n_turns")
+        ),
         "conv_id",
+        "left",
+    )
+    # P10 defaults for unconfigured conversations — the reference's own
+    # defaults (backend-service/handlers/handlers.go:63-69: top_k=5,
+    # confidence_threshold=0.5); n_turns stays null → session closes by
+    # timeout instead of completion.
+    df = (
+        df.withColumn("job_type", F.coalesce("job_type", F.lit("custom_classification")))
+        .withColumn("top_k", F.coalesce("top_k", F.lit(5)))
+        .withColumn("confidence_threshold", F.coalesce("confidence_threshold", F.lit(0.5)))
     )
     df = df.join(F.broadcast(registry.select("job_type", "model_name", "labels")), "job_type")
     if salt_buckets:
@@ -83,8 +122,24 @@ def classified_stream(
     )
 
 
-def folded_stream(classified: DataFrame) -> DataFrame:
-    """The keyed session fold (turn pass-through + summary emission)."""
+def folded_stream(classified: DataFrame, fold_buckets: int | None = DEFAULT_FOLD_BUCKETS) -> DataFrame:
+    """The keyed session fold (turn pass-through + summary emission).
+
+    ``fold_buckets``: number of state buckets for the bucketed fold (the
+    high-cardinality default — python crossings per batch scale with
+    buckets, not conversations). ``None``/0 selects the one-key-per-
+    conversation fold (same semantics; used for differential testing)."""
+    if fold_buckets:
+        bucketed = classified.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(fold_buckets))
+        )
+        return bucketed.groupBy("bucket").applyInPandasWithState(
+            bucket_session_fold,
+            outputStructType=FOLD_OUTPUT,
+            stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     return classified.groupBy("conv_id").applyInPandasWithState(
         session_fold,
         outputStructType=FOLD_OUTPUT,
@@ -95,47 +150,67 @@ def folded_stream(classified: DataFrame) -> DataFrame:
 
 
 def _sink_batch(out_dir: str):
-    turns_dir = os.path.join(out_dir, "turn_results")
-    summaries_dir = os.path.join(out_dir, "conv_summaries")
+    """One write per micro-batch: the fold's union output lands in its own
+    batch_id directory (idempotent overwrite under replay — the
+    transactional-sink pattern), sub-partitioned by row_type so turns and
+    summaries are separate partitions of ONE pass. Disk bytes are the
+    local bottleneck, so the sink makes exactly one pass over the batch:
+    no persist, no double write."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        from distributed_classification_system_spark.streaming.state import SUMMARY_JSON_SCHEMA
+        (
+            batch_df.withColumn("part_id", F.spark_partition_id())
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("row_type")
+            .parquet(os.path.join(out_dir, "results", f"batch_id={batch_id}"))
+        )
 
-        batch_df = batch_df.persist()
-        try:
-            turns = batch_df.filter(F.col("row_type") == "turn").select(
-                "conv_id",
-                "turn_idx",
-                "role",
-                "text",
-                "tool",
-                "ts",
-                "model_used",
-                "top_prediction",
-                "top_confidence",
-                "all_predictions_json",
-                "reason",
-                "processing_time_ms",
-            )
-            _sink.write_batch_idempotent(turns, turns_dir, batch_id)
-            summaries = (
-                batch_df.filter(F.col("row_type") == "summary")
-                .select("conv_id", F.from_json("summary_json", SUMMARY_JSON_SCHEMA).alias("s"))
-                .select(
-                    "conv_id",
-                    "s.status",
-                    "s.model_used",
-                    "s.total",
-                    "s.classified",
-                    "s.unknown",
-                    "s.grouped_by_label",
-                    "s.processing_time_ms",
-                    "s.completed_at",
-                )
-            )
-            _sink.write_batch_idempotent(summaries, summaries_dir, batch_id)
-        finally:
-            batch_df.unpersist()
+    return write
+
+
+# Schema of the turn-results sink files (the cascade's Q2 source).
+TURN_SINK = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("model_used", T.StringType()),
+        T.StructField("top_prediction", T.StringType()),
+        T.StructField("top_confidence", T.DoubleType()),
+        T.StructField("all_predictions_json", T.StringType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("processing_time_ms", T.DoubleType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+def _turn_sink(out_dir: str):
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.drop("n_turns")
+            .withColumn("part_id", F.spark_partition_id())
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "turn_results", f"b={batch_id}"))
+        )
+
+    return write
+
+
+def _summary_sink(out_dir: str):
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("part_id", F.spark_partition_id())
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "conv_summaries", f"b={batch_id}"))
+        )
 
     return write
 
@@ -148,37 +223,136 @@ def run_stream(
     registry: DataFrame,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
-    salt_buckets: int = 8,
+    salt_buckets: int | None = None,
+    fold_buckets: int | None = DEFAULT_FOLD_BUCKETS,
     watermark: str = WATERMARK_DELAY,
     await_termination: bool = False,
+    collect_metrics: bool = True,
+    mode: str = "unified",
 ):
-    """Start the engine over a transcript file stream; returns the query.
+    """Run the engine over a transcript file stream.
+
+    ``mode='unified'`` (default): one query — classify → bucketed stateful
+    fold (turns pass through the state op) → one idempotent write. Highest
+    measured throughput: the extra Arrow round-trip of the payload costs
+    less than cascade's dedup shuffle + second source scan.
+
+    ``mode='cascade'`` (requires ``await_termination``): two chained
+    availableNow queries —
+
+      Q1  transcripts → watermark → dropDuplicatesWithinWatermark (native
+          JVM dedup) → config/registry broadcast joins → kernel →
+          batch-overwrite turn sink. The heavy payload (text, prediction
+          arrays) stays JVM-side end to end; Python only sees it once,
+          inside the Arrow kernel.
+      Q2  turn sink (column-pruned parquet stream: 7 slim columns) →
+          watermark → bucketed summary fold → batch-overwrite summary
+          sink. Session state never carries payload.
 
     ``max_files_per_trigger`` paces micro-batches the way the reference's
     long-poll batch size (≤10 msgs) paces SQS consumption (S1)."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    listener = None
+    if collect_metrics and await_termination:
+        from distributed_classification_system_spark.streaming.metrics import MetricsListener
+
+        listener = MetricsListener()
+        spark.streams.addListener(listener)
+
+    def _finish():
+        if listener is not None:
+            spark.streams.removeListener(listener)
+            # the engine's observability table (FIXTURES.md §4c) — input to
+            # the W1-W8 analysis rollups, the analogue of the reference's
+            # CloudWatch series (metrics_collector.py:112-164)
+            listener.to_df(spark).write.mode("append").parquet(
+                os.path.join(out_dir, "metrics")
+            )
+
     reader = spark.readStream.schema(TRANSCRIPTS)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    classified = classified_stream(stream, conv_config, registry, salt_buckets, watermark)
-    folded = folded_stream(classified)
+    if mode == "unified":
+        classified = classified_stream(stream, conv_config, registry, salt_buckets, watermark)
+        folded = folded_stream(classified, fold_buckets)
+        q = (
+            folded.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_sink_batch(out_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if await_termination:
+            q.awaitTermination()
+            _finish()
+        return q
 
-    q = (
-        folded.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(_sink_batch(out_dir))
+    assert await_termination, "cascade mode runs two chained availableNow queries"
+    from distributed_classification_system_spark.streaming.state import (
+        SUMMARY_OUTPUT,
+        bucket_summary_fold,
+    )
+
+    classified = classified_stream(
+        stream, conv_config, registry, salt_buckets, watermark, dedup_within_watermark=True
+    )
+    q1 = (
+        classified.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "q1"))
+        .foreachBatch(_turn_sink(out_dir))
         .trigger(availableNow=True)
         .start()
     )
-    if await_termination:
-        q.awaitTermination()
-    return q
+    q1.awaitTermination()
+
+    slim = (
+        spark.readStream.schema(TURN_SINK)
+        .parquet(os.path.join(out_dir, "turn_results", "b=*"))
+        .select("conv_id", "turn_idx", "top_prediction", "processing_time_ms", "ts", "model_used")
+        .withWatermark("ts", watermark)
+        .join(F.broadcast(conv_config.select("conv_id", "n_turns")), "conv_id", "left")
+        .withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(fold_buckets or DEFAULT_FOLD_BUCKETS)))
+    )
+    folded = slim.groupBy("bucket").applyInPandasWithState(
+        bucket_summary_fold,
+        outputStructType=SUMMARY_OUTPUT,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q2 = (
+        folded.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "q2"))
+        .foreachBatch(_summary_sink(out_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    _finish()
+    return q2
+
+
+def _read_results(spark: SparkSession, out_dir: str, row_type: str) -> DataFrame:
+    base = os.path.join(out_dir, "results")
+    return (
+        spark.read.option("basePath", base)
+        .parquet(os.path.join(base, "batch_id=*", f"row_type={row_type}"))
+    )
 
 
 def read_turn_results(spark: SparkSession, out_dir: str) -> DataFrame:
-    return _sink.read_sink(spark, os.path.join(out_dir, "turn_results"))
+    if os.path.isdir(os.path.join(out_dir, "turn_results")):  # cascade layout
+        df = spark.read.parquet(os.path.join(out_dir, "turn_results", "b=*"))
+    else:  # unified layout
+        df = _read_results(spark, out_dir, "turn")
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "model_used",
+        "top_prediction", "top_confidence", "all_predictions_json", "reason",
+        "processing_time_ms", "batch_id", "part_id",
+    )
 
 
 def read_conv_summaries(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -187,7 +361,20 @@ def read_conv_summaries(spark: SparkSession, out_dir: str) -> DataFrame:
     deterministic survivor under any replay interleaving."""
     from pyspark.sql import Window
 
-    df = _sink.read_sink(spark, os.path.join(out_dir, "conv_summaries"))
+    from distributed_classification_system_spark.streaming.state import SUMMARY_JSON_SCHEMA
+
+    if os.path.isdir(os.path.join(out_dir, "conv_summaries")):  # cascade layout
+        raw = spark.read.parquet(os.path.join(out_dir, "conv_summaries", "b=*"))
+    else:  # unified layout
+        raw = _read_results(spark, out_dir, "summary")
+    df = (
+        raw.select("conv_id", "batch_id", "part_id", F.from_json("summary_json", SUMMARY_JSON_SCHEMA).alias("s"))
+        .select(
+            "conv_id", "s.status", "s.model_used", "s.total", "s.classified",
+            "s.unknown", "s.grouped_by_label", "s.processing_time_ms",
+            "s.completed_at", "batch_id", "part_id",
+        )
+    )
     w = Window.partitionBy("conv_id").orderBy(
         F.when(F.col("status") == "completed", 0).otherwise(1),
         F.col("total").desc(),

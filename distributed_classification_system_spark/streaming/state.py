@@ -98,8 +98,10 @@ _OUT_COLS = [f.name for f in FOLD_OUTPUT.fields]
 _EMPTY = {c: None for c in _OUT_COLS}
 
 
-def _summary_pdf(conv_id: str, status: str, st: dict[str, Any]) -> pd.DataFrame:
-    labels: dict[str, list[tuple[int, str]]] = json.loads(st["labels_json"])
+def _summary_row(conv_id: str, status: str, st: dict[str, Any]) -> dict[str, Any]:
+    labels: dict[str, list[tuple[int, str]]] = (
+        st["labels"] if "labels" in st else json.loads(st["labels_json"])
+    )
     grouped = {
         lab: [name for _, name in sorted(pairs)] for lab, pairs in sorted(labels.items())
     }
@@ -118,7 +120,14 @@ def _summary_pdf(conv_id: str, status: str, st: dict[str, Any]) -> pd.DataFrame:
     row["conv_id"] = conv_id
     row["row_type"] = "summary"
     row["summary_json"] = json.dumps(payload, sort_keys=True)
-    return pd.DataFrame([row], columns=_OUT_COLS)
+    return row
+
+
+def _summary_frame(rows: list[dict[str, Any]]) -> pd.DataFrame:
+    """ONE DataFrame for all of an invocation's summaries — single-row
+    frame construction per conversation was the dominant fold cost at
+    10^5+ conversations/batch."""
+    return pd.DataFrame(rows, columns=_OUT_COLS)
 
 
 def session_fold(
@@ -135,7 +144,7 @@ def session_fold(
         # done-tombstones expire silently; open sessions close as 'timeout'
         # (the reference leaves them 'processing' forever, handlers.go:291-299)
         if not st["done"] and st["seen"]:
-            yield _summary_pdf(conv_id, "timeout", st)
+            yield _summary_frame([_summary_row(conv_id, "timeout", st)])
         return
 
     if state.exists:
@@ -189,7 +198,7 @@ def session_fold(
     complete = st["n_expected"] > 0 and len(seen) >= st["n_expected"]
     if complete and not st["done"]:
         st["done"] = True
-        yield _summary_pdf(conv_id, "completed", st)
+        yield _summary_frame([_summary_row(conv_id, "completed", st)])
         # tombstone retained: dedups post-completion redelivery until the
         # watermark expires it
 
@@ -200,6 +209,281 @@ def session_fold(
     wm = state.getCurrentWatermarkMs()
     last_activity_ms = st["max_ts_us"] // 1000
     state.setTimeoutTimestamp(max(last_activity_ms + SESSION_GAP_MS, wm + 1000))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed fold — the high-cardinality-scale variant.
+#
+# applyInPandasWithState costs ~1-3 ms of serializer overhead per KEY per
+# batch (pandas slicing + Arrow state round-trip). With 10^5-10^8 live
+# conversations that per-key tax dominates the pipeline and caps scaling
+# efficiency. The bucketed fold keys the state op by
+# pmod(xxhash64(conv_id), n_buckets) and keeps a dict conv_id → session
+# state inside each bucket's state row: python crossings per batch drop
+# from #conversations to #buckets, while per-conversation semantics
+# (dedup, counters, grouping, completion, timeout, tombstones) stay
+# EXACTLY the same — verified by the batch≡stream and invariance tests
+# running against both folds.
+#
+# Timeouts: each bucket re-arms its timer to watermark+1s every batch and
+# expires, on every invocation, the conversations whose
+# last_activity + gap fell behind the watermark — a per-bucket timer wheel
+# replacing 10^5 individual per-key timers.
+# ---------------------------------------------------------------------------
+
+BUCKET_STATE_SCHEMA = T.StructType([T.StructField("states_json", T.StringType())])
+
+# Slim fold input for the cascade's summary query (Q2): no text / no
+# prediction payload — those never enter Python state (Arrow string
+# materialization of the payload was the measured CPU hot spot).
+SLIM_FOLD_INPUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("top_prediction", T.StringType()),
+        T.StructField("processing_time_ms", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("model_used", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+    ]
+)
+
+SUMMARY_OUTPUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("summary_json", T.StringType()),
+    ]
+)
+
+
+def _new_conv_state() -> dict[str, Any]:
+    # bucket-fold per-conversation state; labels kept as a plain dict —
+    # the whole bucket blob is JSON-serialized once, so no inner round-trip
+    return {
+        "n_expected": -1,
+        "classified": 0,
+        "unknown": 0,
+        "sum_ms": 0.0,
+        "max_ts_us": 0,
+        "model_used": None,
+        "seen": [],
+        "labels": {},
+        "done": False,
+    }
+
+
+def _expire_due(states: dict[str, dict], wm_ms: int) -> list[dict[str, Any]]:
+    """Expire conversations whose session window closed behind the
+    watermark; returns timeout summary ROWS for open sessions."""
+    out = []
+    for conv_id in list(states):
+        st = states[conv_id]
+        if st["max_ts_us"] // 1000 + SESSION_GAP_MS <= wm_ms:
+            del states[conv_id]
+            if not st["done"] and st["seen"]:
+                st["seen"] = list(st["seen"])
+                out.append(_summary_row(conv_id, "timeout", st))
+    return out
+
+
+def bucket_session_fold(
+    key: tuple[int],
+    pdfs: Iterable[pd.DataFrame],
+    state,
+) -> Iterable[pd.DataFrame]:
+    """Per-bucket fold: same per-conversation semantics as session_fold,
+    one state row per bucket."""
+    wm_ms = state.getCurrentWatermarkMs()
+
+    if state.hasTimedOut:
+        states = json.loads(state.get[0])
+        expired = _expire_due(states, wm_ms)
+        if expired:
+            yield _summary_frame(expired)
+        if states:
+            state.update((json.dumps(states, sort_keys=True),))
+            state.setTimeoutTimestamp(wm_ms + 1000)
+        else:
+            state.remove()
+        return
+
+    states = json.loads(state.get[0]) if state.exists else {}
+    # cross-batch dedup set: "conv|idx" keys of everything already folded
+    seen_keys = {f"{cid}|{i}" for cid, st in states.items() for i in st["seen"]}
+    done_convs = {cid for cid, st in states.items() if st["done"]}
+
+    summaries = []
+    for pdf in pdfs:
+        pdf = pdf.drop(columns=["bucket"]).drop_duplicates(["conv_id", "turn_idx"])
+        if seen_keys:
+            keys = pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str)
+            pdf = pdf[~keys.isin(seen_keys)]
+        if done_convs:
+            pdf = pdf[~pdf["conv_id"].isin(done_convs)]
+        if pdf.empty:
+            continue
+
+        # per-turn pass-through: ONE vectorized assign for the whole bucket
+        yield pdf.assign(row_type="turn", summary_json=None)
+        seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
+
+        # per-conversation increments via numpy group-boundary reductions —
+        # no per-group pandas objects, no iterrows, no agg(list)
+        import numpy as np
+
+        pdf = pdf.sort_values(["conv_id", "turn_idx"])
+        conv_arr = pdf["conv_id"].to_numpy()
+        idx_arr = pdf["turn_idx"].to_numpy()
+        pred_arr = pdf["top_prediction"].to_numpy()
+        unk_arr = (pred_arr == "unknown").astype("int64")
+        ms_arr = pdf["processing_time_ms"].to_numpy()
+        ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        nexp_arr = pdf["n_turns"].to_numpy()
+        model_arr = pdf["model_used"].to_numpy()
+
+        uconv, starts = np.unique(conv_arr, return_index=True)  # sorted input
+        ends = np.append(starts[1:], len(conv_arr))
+        unk_sums = np.add.reduceat(unk_arr, starts)
+        ms_sums = np.add.reduceat(ms_arr, starts)
+        ts_maxs = np.maximum.reduceat(ts_arr, starts)
+
+        for gi, conv_id in enumerate(uconv):
+            s, e = int(starts[gi]), int(ends[gi])
+            st = states.get(conv_id)
+            if st is None:
+                st = states[conv_id] = _new_conv_state()
+            nexp = nexp_arr[s]
+            # null n_turns (unconfigured conversation) → close by timeout
+            st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
+            st["model_used"] = model_arr[s]
+            st["classified"] += (e - s) - int(unk_sums[gi])
+            st["unknown"] += int(unk_sums[gi])
+            st["sum_ms"] += float(ms_sums[gi])
+            st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
+            st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
+            labels = st["labels"]
+            preds_slice = pred_arr[s:e]
+            idxs_slice = idx_arr[s:e]
+            for p in dict.fromkeys(preds_slice):  # distinct, order-stable
+                labels.setdefault(p, []).extend(
+                    [int(i), TURN_NAME % int(i)]
+                    for i in idxs_slice[preds_slice == p]
+                )
+            if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
+                st["done"] = True  # tombstone until watermark expiry
+                done_convs.add(conv_id)
+                summaries.append(_summary_row(conv_id, "completed", st))
+
+    summaries.extend(_expire_due(states, wm_ms))
+    if summaries:
+        yield _summary_frame(summaries)
+
+    if states:
+        state.update((json.dumps(states, sort_keys=True),))
+        state.setTimeoutTimestamp(wm_ms + 1000)
+    elif state.exists:
+        state.remove()
+
+
+def _summary_only_frame(rows: list[dict[str, Any]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        [{"conv_id": r["conv_id"], "summary_json": r["summary_json"]} for r in rows],
+        columns=["conv_id", "summary_json"],
+    )
+
+
+def bucket_summary_fold(
+    key: tuple[int],
+    pdfs: Iterable[pd.DataFrame],
+    state,
+) -> Iterable[pd.DataFrame]:
+    """Cascade Q2 fold: same per-conversation session semantics as
+    bucket_session_fold but input is the SLIM per-turn record (no payload)
+    and output is summaries only — the per-turn stream already landed via
+    the stateless exactly-once path (Q1)."""
+    import numpy as np
+
+    wm_ms = state.getCurrentWatermarkMs()
+
+    if state.hasTimedOut:
+        states = json.loads(state.get[0])
+        expired = _expire_due(states, wm_ms)
+        if expired:
+            yield _summary_only_frame(expired)
+        if states:
+            state.update((json.dumps(states, sort_keys=True),))
+            state.setTimeoutTimestamp(wm_ms + 1000)
+        else:
+            state.remove()
+        return
+
+    states = json.loads(state.get[0]) if state.exists else {}
+    seen_keys = {f"{cid}|{i}" for cid, st in states.items() for i in st["seen"]}
+    done_convs = {cid for cid, st in states.items() if st["done"]}
+
+    summaries = []
+    for pdf in pdfs:
+        pdf = pdf.drop(columns=["bucket"]).drop_duplicates(["conv_id", "turn_idx"])
+        if seen_keys:
+            keys = pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str)
+            pdf = pdf[~keys.isin(seen_keys)]
+        if done_convs:
+            pdf = pdf[~pdf["conv_id"].isin(done_convs)]
+        if pdf.empty:
+            continue
+        seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
+
+        pdf = pdf.sort_values(["conv_id", "turn_idx"])
+        conv_arr = pdf["conv_id"].to_numpy()
+        idx_arr = pdf["turn_idx"].to_numpy()
+        pred_arr = pdf["top_prediction"].to_numpy()
+        unk_arr = (pred_arr == "unknown").astype("int64")
+        ms_arr = pdf["processing_time_ms"].to_numpy()
+        ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        nexp_raw = pdf["n_turns"].to_numpy()
+        model_arr = pdf["model_used"].to_numpy()
+
+        uconv, starts = np.unique(conv_arr, return_index=True)
+        ends = np.append(starts[1:], len(conv_arr))
+        unk_sums = np.add.reduceat(unk_arr, starts)
+        ms_sums = np.add.reduceat(ms_arr, starts)
+        ts_maxs = np.maximum.reduceat(ts_arr, starts)
+
+        for gi, conv_id in enumerate(uconv):
+            s, e = int(starts[gi]), int(ends[gi])
+            st = states.get(conv_id)
+            if st is None:
+                st = states[conv_id] = _new_conv_state()
+            nexp = nexp_raw[s]
+            st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
+            st["model_used"] = model_arr[s]
+            st["classified"] += (e - s) - int(unk_sums[gi])
+            st["unknown"] += int(unk_sums[gi])
+            st["sum_ms"] += float(ms_sums[gi])
+            st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
+            st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
+            labels = st["labels"]
+            preds_slice = pred_arr[s:e]
+            idxs_slice = idx_arr[s:e]
+            for p in dict.fromkeys(preds_slice):
+                labels.setdefault(p, []).extend(
+                    [int(i), TURN_NAME % int(i)]
+                    for i in idxs_slice[preds_slice == p]
+                )
+            if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
+                st["done"] = True
+                done_convs.add(conv_id)
+                summaries.append(_summary_row(conv_id, "completed", st))
+
+    summaries.extend(_expire_due(states, wm_ms))
+    if summaries:
+        yield _summary_only_frame(summaries)
+
+    if states:
+        state.update((json.dumps(states, sort_keys=True),))
+        state.setTimeoutTimestamp(wm_ms + 1000)
+    elif state.exists:
+        state.remove()
 
 
 def _state_dict(tup) -> dict[str, Any]:

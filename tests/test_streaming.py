@@ -219,6 +219,21 @@ def test_late_data_times_out_session(spark, tdir):
     assert all(v.status == "completed" for v in others)
 
 
+def test_bucketed_equals_per_conv_fold(spark, tdir):
+    """Differential: the bucketed fold (high-cardinality scale path) and
+    the one-key-per-conversation fold produce identical tables."""
+    out_b = _run(spark, tdir, run_kw={"fold_buckets": 16}, sub="bucketed")
+    out_p = _run(spark, tdir, run_kw={"fold_buckets": 0}, sub="perconv")
+    tb = {(r.conv_id, r.turn_idx): (r.text, r.top_prediction, r.top_confidence)
+          for r in eng.read_turn_results(spark, out_b).collect()}
+    tp = {(r.conv_id, r.turn_idx): (r.text, r.top_prediction, r.top_confidence)
+          for r in eng.read_turn_results(spark, out_p).collect()}
+    assert tb == tp
+    assert _summary_key(eng.read_conv_summaries(spark, out_b).collect()) == _summary_key(
+        eng.read_conv_summaries(spark, out_p).collect()
+    )
+
+
 def test_streaming_salting_invariance(spark, tdir):
     """T10: hot conversation (500 turns) — salted vs unsalted runs produce
     identical results."""
