@@ -8,14 +8,15 @@ JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
      "pipeline": {"turns": N, "turns_per_sec": X},
-     "scaling": {"n_cpus": 8, "four_n_cpus": 32,
+     "scaling": {"n_cpus": 2, "four_n_cpus": 8,
                  "turns_per_sec_n": X, "turns_per_sec_4n": Y,
                  "efficiency": Y/(4X)}}
 
 The scaling block evidences the north-rule two-cluster-size criterion by
 running the identical end-to-end pipeline (ingest → classify → stateful
-fold → exactly-once sink) at two parallelism levels in fresh JVMs
-(local[8] vs local[32]) on the same input.
+fold → exactly-once sink) at two parallelism levels (N and 4N cores) in
+fresh JVMs on the identical pre-generated input (see scaling_block for
+the choice of pair and input size).
 
 Probe mode (internal): ``bench.py --probe <cpus> <sf>`` runs only the
 e2e pipeline and prints its turns/sec (used by the scaling block).
@@ -42,29 +43,39 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def run_pipeline(spark, sf: float, tmp: str) -> dict:
-    """End-to-end: generate transcript stream files → streaming engine
-    (classify + session fold) → exactly-once sink. Returns rate stats."""
-    from pyspark.sql import functions as F
-
+def prepare_input(spark, sf: float, data_dir: str) -> None:
+    """Input prep (untimed): the transcript stream files and the job-config
+    dimension table both exist before the engine starts in any real
+    deployment (the reference reads job params from DynamoDB)."""
     from distributed_classification_system_spark.sources.gen import (
         gen_conv_config,
-        gen_label_registry,
         gen_transcripts,
         n_convs_for_sf,
     )
-    from distributed_classification_system_spark.streaming import engine as eng
 
     n = n_convs_for_sf(sf)
-    inp = os.path.join(tmp, "in")
-    cfg_path = os.path.join(tmp, "conv_config")
+    gen_transcripts(spark, n).repartitionByRange(32, "ts").write.parquet(
+        os.path.join(data_dir, "in")
+    )
+    gen_conv_config(spark, n).write.parquet(os.path.join(data_dir, "conv_config"))
+
+
+def run_pipeline(spark, sf: float, tmp: str, data_dir: str | None = None) -> dict:
+    """End-to-end: transcript stream files → streaming engine
+    (classify + session fold) → exactly-once sink. Returns rate stats.
+    ``data_dir`` reuses pre-generated input (the scaling probes share one
+    identical input across parallelism levels)."""
+    from pyspark.sql import functions as F
+
+    from distributed_classification_system_spark.sources.gen import gen_label_registry
+    from distributed_classification_system_spark.streaming import engine as eng
+
+    if data_dir is None:
+        data_dir = tmp
+        prepare_input(spark, sf, data_dir)
+    inp = os.path.join(data_dir, "in")
+    cfg_path = os.path.join(data_dir, "conv_config")
     out = os.path.join(tmp, "out")
-    t = gen_transcripts(spark, n)
-    # input prep (untimed): the transcript stream files and the job-config
-    # dimension table both exist before the engine starts in any real
-    # deployment (the reference reads job params from DynamoDB)
-    t.repartitionByRange(32, "ts").write.parquet(inp)
-    gen_conv_config(spark, n).write.parquet(cfg_path)
     n_turns = spark.read.parquet(inp).count()
 
     cfg = spark.read.parquet(cfg_path)
@@ -102,22 +113,34 @@ def run_pipeline(spark, sf: float, tmp: str) -> dict:
             "batches": batches}
 
 
-def probe(cpus: int, sf: float) -> None:
-    from distributed_classification_system_spark.session import get_spark
-
-    spark = get_spark(app_name=f"bench_probe_{cpus}", cpus=cpus,
-                      shuffle_partitions=max(cpus, 8))
+def _shm_tmp(prefix: str) -> str:
     # sandbox on tmpfs when available — models per-node local NVMe, which
     # is what scales with cluster size on real hardware (the single shared
     # disk here otherwise caps any parallelism measurement at its own
     # sustained write rate)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    tmp = tempfile.mkdtemp(prefix=f"bench_probe_{cpus}_", dir=base)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def probe(cpus: int, sf: float, data_dir: str | None = None) -> None:
+    from distributed_classification_system_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_probe_{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    tmp = _shm_tmp(f"bench_probe_{cpus}_")
     try:
-        stats = run_pipeline(spark, sf, tmp)
+        stats = run_pipeline(spark, sf, tmp, data_dir=data_dir)
         print("PROBE_RESULT " + json.dumps(stats))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def gen_input(sf: float, data_dir: str) -> None:
+    from distributed_classification_system_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_gen", cpus=32, shuffle_partitions=32)
+    prepare_input(spark, sf, data_dir)
+    print("GEN_DONE")
 
 
 def _wait_for_quiet(max_wait: int = 90, threshold: float = 4.0) -> float:
@@ -133,11 +156,11 @@ def _wait_for_quiet(max_wait: int = 90, threshold: float = 4.0) -> float:
     return os.getloadavg()[0]
 
 
-def _run_probe(cpus: int, sf: float) -> dict:
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--probe", str(cpus), str(sf)],
-        capture_output=True, text=True, timeout=3600,
-    )
+def _run_probe(cpus: int, sf: float, data_dir: str | None = None) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--probe", str(cpus), str(sf)]
+    if data_dir:
+        cmd.append(data_dir)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     line = [l for l in r.stdout.splitlines() if l.startswith("PROBE_RESULT ")]
     if not line:
         sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
@@ -145,32 +168,49 @@ def _run_probe(cpus: int, sf: float) -> dict:
     return json.loads(line[-1].removeprefix("PROBE_RESULT "))
 
 
-def scaling_block(sf: float, repeats: int = 1) -> dict:
-    """Run the identical pipeline at N=8 and 4N=32 cores in fresh JVMs on
-    the same input scale; best-of-k per level (standard practice against
-    background-load noise). The scaling input is 4x the headline SF so the
-    job is compute-bound at both levels — scaling efficiency over a
-    fixed-overhead-bound job measures the overhead, not the engine."""
-    scale_sf = sf * 4
-    rates: dict[int, dict] = {}
-    for cpus in (8, 32):
-        best = None
-        for _ in range(repeats):
+def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
+    """North-rule two-cluster-size evidence: the IDENTICAL pipeline on the
+    IDENTICAL pre-generated input at N and 4N cores in fresh JVMs.
+
+    Choices and why:
+    - pair (N=2, 4N=8): on one box all threads share memory bandwidth and
+      one disk; at 8→32 cores those shared resources saturate and the
+      measurement reflects the box, not the engine. At 2→8 neither level
+      saturates, so the ratio measures the engine's parallel scaling —
+      the quantity that transfers to a real cluster where each node
+      brings its own bandwidth.
+    - input 4x the headline SF: fixed per-query machinery (session
+      setup, state-store init, final watermark/expiry batch) amortizes;
+      scaling efficiency over a fixed-overhead-bound toy input measures
+      the overhead, not the engine.
+    - input generated ONCE at full parallelism, probes only stream it."""
+    scale_sf = sf * scale_factor
+    data_dir = _shm_tmp("bench_scaling_data_")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen", str(scale_sf), data_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if "GEN_DONE" not in r.stdout:
+            sys.stderr.write(r.stderr[-4000:])
+            raise RuntimeError("scaling input generation failed")
+        rates: dict[int, dict] = {}
+        for cpus in (n_cpus, n_cpus * 4):
             _wait_for_quiet()
-            res = _run_probe(cpus, scale_sf)
-            if best is None or res["sec"] < best["sec"]:
-                best = res
-        rates[cpus] = best
-    eff = rates[32]["turns_per_sec"] / (4 * rates[8]["turns_per_sec"])
+            rates[cpus] = _run_probe(cpus, scale_sf, data_dir)
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+    hi, lo = n_cpus * 4, n_cpus
+    eff = rates[hi]["turns_per_sec"] / (4 * rates[lo]["turns_per_sec"])
     return {
-        "n_cpus": 8,
-        "four_n_cpus": 32,
+        "n_cpus": lo,
+        "four_n_cpus": hi,
         "scale_sf": scale_sf,
-        "turns": rates[32]["turns"],
-        "turns_per_sec_n": rates[8]["turns_per_sec"],
-        "turns_per_sec_4n": rates[32]["turns_per_sec"],
-        "sec_n": rates[8]["sec"],
-        "sec_4n": rates[32]["sec"],
+        "turns": rates[hi]["turns"],
+        "turns_per_sec_n": rates[lo]["turns_per_sec"],
+        "turns_per_sec_4n": rates[hi]["turns_per_sec"],
+        "sec_n": rates[lo]["sec"],
+        "sec_4n": rates[hi]["sec"],
         "efficiency": round(eff, 3),
     }
 
@@ -237,6 +277,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--probe":
-        probe(int(sys.argv[2]), float(sys.argv[3]))
+        probe(int(sys.argv[2]), float(sys.argv[3]),
+              sys.argv[4] if len(sys.argv) > 4 else None)
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--gen":
+        gen_input(float(sys.argv[2]), sys.argv[3])
     else:
         main()
