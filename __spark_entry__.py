@@ -189,6 +189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").filter(F.col("doc_id") < 100)
     )
 
+    # --- multimodal columns (rows-only: synthetic media, fake decoder) -----
+    from distributed_classification_system_spark.operators import multimodal as _mm
+
+    q["media_inventory"] = lambda s, d: _mm.media_inventory(_mm.gen_media(s, 200))
+    q["image_features"] = lambda s, d: _mm.image_features(_mm.gen_media(s, 200))
+    q["audio_frame_stats"] = lambda s, d: _mm.audio_frame_stats(_mm.gen_media(s, 200))
+
     # --- transcript engine (rows-only: input is engine-generated) -----------
     q["flagship_summaries"] = lambda s, d: entry(s)
     q["stream_pipeline"] = lambda s, d: _stream_pipeline(s)
