@@ -180,9 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity search ---------------------------------------------------
     q["ann_bruteforce"] = lambda s, d: _ann.brute_force_topk(_t(s, d, "embeddings"))
     q["ann_ivf"] = lambda s, d: _ann.ivf_topk(_t(s, d, "embeddings"))
+    q["embedding_near_dups"] = lambda s, d: _ann.embedding_near_dups(_t(s, d, "embeddings"))
 
     # --- text analysis --------------------------------------------------------
     q["lang_id"] = lambda s, d: _text.lang_id(_t(s, d, "documents"))
+    q["token_stats"] = lambda s, d: _text.token_stats(_t(s, d, "documents"))
     q["quality_scores"] = lambda s, d: _text.quality_scores(_t(s, d, "documents"))
     q["fingerprint"] = lambda s, d: _text.fingerprint(_t(s, d, "documents"))
     q["rolling_fingerprints"] = lambda s, d: _text.rolling_fingerprints(
@@ -563,6 +565,30 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+    o["embedding_near_dups"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM emb WHERE vec_id < 8),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.embedding, c_emb) DESC, cell) AS rn
+  FROM emb e CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM assign_scored WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM assigned a JOIN assigned b USING (cell)
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+    o["token_stats"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish_tokens,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct_tokens
+FROM documents
 """
 
     o["lang_id"] = """

@@ -39,6 +39,20 @@ def count_token_hits(toks: Column, vocab: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting three ways (training-data accounting): whitespace
+    tokens, BPE-ish regex tokens (letter runs | digit runs | single
+    punctuation), distinct whitespace tokens."""
+    toks = tokens()
+    bpeish = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(bpeish).alias("n_bpeish_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword hit counts,
     ties broken by language code asc, 'und' when nothing matches."""

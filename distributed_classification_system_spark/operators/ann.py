@@ -83,6 +83,29 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.35, n_cells: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with IVF cell blocking: only
+    vectors assigned to the same coarse cell are compared (the candidate
+    space drops from O(N²) to O(N²/cells) — at corpus scale, cells are
+    also the partition key so comparisons never cross executors).
+    Cosines are computed in double (cast once) for engine portability."""
+    emb = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    assigned = ivf_assign(emb, n_cells)
+    pairs = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold).select("vec_a", "vec_b")
+
+
 def ivf_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 16
 ) -> DataFrame:
