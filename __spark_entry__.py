@@ -379,7 +379,7 @@ FROM hourly WINDOW w AS (ORDER BY hour ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
     o["cumulative_sum"] = f"""
 WITH hourly AS ({_hourly})
 SELECT hour, cnt,
-       sum(cnt) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+       CAST(sum(cnt) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
 FROM hourly
 """
     o["scaling_events"] = f"""

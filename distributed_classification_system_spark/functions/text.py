@@ -44,7 +44,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
     tokens, BPE-ish regex tokens (letter runs | digit runs | single
     punctuation), distinct whitespace tokens."""
     toks = tokens()
-    bpeish = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    # idx=0 (whole match) — the pattern has no capture group; group 1 raises
+    # INVALID_PARAMETER_VALUE.REGEX_GROUP_INDEX.
+    bpeish = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
     return documents.select(
         "doc_id",
         F.size(toks).alias("n_ws_tokens"),
@@ -108,15 +112,20 @@ def rolling_fingerprints(documents: DataFrame, window: int = 8, mod: int = 2**31
     """Rolling polynomial fingerprints (Rabin-Karp shape) per document:
     hash of every ``window``-token span, for content-defined chunk dedup.
     Pure Catalyst: transform over token index sequence with an inner
-    aggregate (Horner's rule, exact int64 arithmetic under the modulus)."""
+    aggregate (Horner's rule, exact int64 arithmetic under the modulus).
+
+    Token hash = first 48 bits of md5, an engine-portable choice (DuckDB
+    1.0 has md5 but no crc32/xxhash) so the whole operator is
+    oracle-checkable. No overflow: acc < 2^31, acc*257 + 2^48 < 2^49."""
     toks = tokens()
     base = 257
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")  # noqa: E731
     span_hash = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (window - 1)),
         lambda i: F.aggregate(
             F.slice(toks, i, window),
             F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(acc * base + F.crc32(t), F.lit(mod)),
+            lambda acc, t: F.pmod(acc * base + tok_hash(t), F.lit(mod)),
         ),
     )
     return documents.filter(F.size(toks) >= window).select(

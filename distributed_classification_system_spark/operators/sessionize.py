@@ -51,7 +51,12 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
         F.count("*").cast("int").alias("total"),
         F.sum(F.when(F.col("top_prediction") != "unknown", 1).otherwise(0)).cast("int").alias("classified"),
         F.sum(F.when(F.col("top_prediction") == "unknown", 1).otherwise(0)).cast("int").alias("unknown"),
-        F.sum("processing_time_ms").alias("processing_time_ms"),
+        # exact integer cents → one IEEE division: order-independent total
+        # (a raw double sum is shuffle-order-dependent and can't hash-match
+        # the streaming fold or a SQL oracle)
+        (
+            F.sum(F.round(F.col("processing_time_ms") * 100).cast("long")).cast("double") / 100.0
+        ).alias("processing_time_ms"),
         F.max("ts").alias("completed_at"),
         F.first("model_used").alias("model_used"),
     )

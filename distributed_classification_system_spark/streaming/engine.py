@@ -158,9 +158,11 @@ def _sink_batch(out_dir: str):
     no persist, no double write."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id lives in the directory name only (partition column on
+        # read) — writing it as a file column too produced an ambiguous
+        # COLUMN_ALREADY_EXISTS schema.
         (
             batch_df.withColumn("part_id", F.spark_partition_id())
-            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("row_type")
             .parquet(os.path.join(out_dir, "results", f"batch_id={batch_id}"))
@@ -340,6 +342,7 @@ def _read_results(spark: SparkSession, out_dir: str, row_type: str) -> DataFrame
     return (
         spark.read.option("basePath", base)
         .parquet(os.path.join(base, "batch_id=*", f"row_type={row_type}"))
+        .withColumn("batch_id", F.col("batch_id").cast("long"))
     )
 
 

@@ -82,7 +82,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("n_expected", T.IntegerType()),
         T.StructField("classified", T.IntegerType()),
         T.StructField("unknown", T.IntegerType()),
-        T.StructField("sum_ms", T.DoubleType()),
+        T.StructField("sum_cents", T.DoubleType()),  # exact integer-valued
         T.StructField("max_ts_us", T.LongType()),
         T.StructField("model_used", T.StringType()),
         T.StructField("seen", T.ArrayType(T.IntegerType())),
@@ -112,7 +112,9 @@ def _summary_row(conv_id: str, status: str, st: dict[str, Any]) -> dict[str, Any
         "classified": st["classified"],
         "unknown": st["unknown"],
         "grouped_by_label": grouped,
-        "processing_time_ms": st["sum_ms"],
+        # exact integer cents → one IEEE division: order-independent, so the
+        # stream total hash-matches the batch fold / DuckDB decimal sum
+        "processing_time_ms": st["sum_cents"] / 100.0,
         # emission time = max event time of the session (deterministic)
         "completed_at": pd.Timestamp(st["max_ts_us"], unit="us").isoformat(),
     }
@@ -154,7 +156,7 @@ def session_fold(
             "n_expected": -1,
             "classified": 0,
             "unknown": 0,
-            "sum_ms": 0.0,
+            "sum_cents": 0,
             "max_ts_us": 0,
             "model_used": None,
             "seen": [],
@@ -177,12 +179,16 @@ def session_fold(
         idxs = pdf["turn_idx"].to_numpy()
         preds = pdf["top_prediction"].to_numpy()
         seen.update(int(i) for i in idxs)
-        st["n_expected"] = int(pdf["n_turns"].iloc[0])
+        # Unconfigured conversations arrive with null n_turns via the left
+        # config join (engine.py); they stay open until the session timeout.
+        # Mirror the bucket-fold guard (NaN != NaN).
+        nexp = pdf["n_turns"].iloc[0]
+        st["n_expected"] = int(nexp) if nexp is not None and nexp == nexp else -1
         st["model_used"] = pdf["model_used"].iloc[0]
         unk = int((preds == "unknown").sum())
         st["classified"] += len(preds) - unk
         st["unknown"] += unk
-        st["sum_ms"] += float(pdf["processing_time_ms"].sum())
+        st["sum_cents"] += int(pdf["processing_time_ms"].mul(100).round().sum())
         st["max_ts_us"] = max(st["max_ts_us"], int(pdf["ts"].max().value // 1000))
         for i, p in zip(idxs, preds):
             labels.setdefault(p, []).append([int(i), TURN_NAME % int(i)])
@@ -263,7 +269,7 @@ def _new_conv_state() -> dict[str, Any]:
         "n_expected": -1,
         "classified": 0,
         "unknown": 0,
-        "sum_ms": 0.0,
+        "sum_cents": 0,
         "max_ts_us": 0,
         "model_used": None,
         "seen": [],
@@ -336,7 +342,7 @@ def bucket_session_fold(
         idx_arr = pdf["turn_idx"].to_numpy()
         pred_arr = pdf["top_prediction"].to_numpy()
         unk_arr = (pred_arr == "unknown").astype("int64")
-        ms_arr = pdf["processing_time_ms"].to_numpy()
+        ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
         ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
         nexp_arr = pdf["n_turns"].to_numpy()
         model_arr = pdf["model_used"].to_numpy()
@@ -358,7 +364,7 @@ def bucket_session_fold(
             st["model_used"] = model_arr[s]
             st["classified"] += (e - s) - int(unk_sums[gi])
             st["unknown"] += int(unk_sums[gi])
-            st["sum_ms"] += float(ms_sums[gi])
+            st["sum_cents"] += int(ms_sums[gi])
             st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
             st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
             labels = st["labels"]
@@ -438,7 +444,7 @@ def bucket_summary_fold(
         idx_arr = pdf["turn_idx"].to_numpy()
         pred_arr = pdf["top_prediction"].to_numpy()
         unk_arr = (pred_arr == "unknown").astype("int64")
-        ms_arr = pdf["processing_time_ms"].to_numpy()
+        ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
         ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
         nexp_raw = pdf["n_turns"].to_numpy()
         model_arr = pdf["model_used"].to_numpy()
@@ -459,7 +465,7 @@ def bucket_summary_fold(
             st["model_used"] = model_arr[s]
             st["classified"] += (e - s) - int(unk_sums[gi])
             st["unknown"] += int(unk_sums[gi])
-            st["sum_ms"] += float(ms_sums[gi])
+            st["sum_cents"] += int(ms_sums[gi])
             st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
             st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
             labels = st["labels"]
@@ -491,7 +497,7 @@ def _state_dict(tup) -> dict[str, Any]:
         "n_expected": tup[0],
         "classified": tup[1],
         "unknown": tup[2],
-        "sum_ms": tup[3],
+        "sum_cents": int(tup[3]),
         "max_ts_us": tup[4],
         "model_used": tup[5],
         "seen": list(tup[6]) if tup[6] is not None else [],
@@ -505,7 +511,7 @@ def _state_tuple(st: dict[str, Any]) -> tuple:
         st["n_expected"],
         st["classified"],
         st["unknown"],
-        st["sum_ms"],
+        float(st["sum_cents"]),
         st["max_ts_us"],
         st["model_used"],
         st["seen"],
