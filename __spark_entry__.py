@@ -22,8 +22,11 @@ from distributed_classification_system_spark.operators import dedup as _dedup
 from distributed_classification_system_spark.operators import joins as _joins
 from distributed_classification_system_spark.operators import rollup as _rollup
 from distributed_classification_system_spark.operators import serve as _serve
+from distributed_classification_system_spark.operators import sessionize as _sessionize
+from distributed_classification_system_spark.operators import sinks as _sinks
 from distributed_classification_system_spark.operators.classify import classify_documents
 from distributed_classification_system_spark.functions import text as _text
+from distributed_classification_system_spark.functions.validate import split_failed
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -89,6 +92,99 @@ sh AS (
 """
 
 
+
+
+def _fold_docs_oracle(with_failures: bool) -> str:
+    """DuckDB twin of conv_fold_docs: the A1 session fold over the
+    source-conversation view of documents, with the T6 corruption applied
+    when with_failures (failed rows count toward total/completion only).
+    grouped_json is built to byte-match Spark's to_json(map<string,
+    array<string>>) with sorted label keys and turn_idx-ordered files."""
+    if with_failures:
+        corrupt = """
+tr AS (
+  SELECT doc_id, conv_id,
+    CAST(CASE WHEN doc_id % 23 = 0 THEN -(idx0 + 1) ELSE idx0 END AS INTEGER) AS turn_idx,
+    CASE WHEN doc_id % 13 = 0 THEN NULL WHEN doc_id % 17 = 0 THEN '' ELSE text END AS text,
+    CASE WHEN doc_id % 19 = 0 THEN NULL
+         ELSE TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (idx0) SECOND END AS ts
+  FROM tr0
+)"""
+    else:
+        corrupt = """
+tr AS (
+  SELECT doc_id, conv_id, idx0 AS turn_idx, text,
+         TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (idx0) SECOND AS ts
+  FROM tr0
+)"""
+    return f"""
+WITH tr0 AS (
+  SELECT doc_id, source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS idx0,
+         text
+  FROM documents
+),{corrupt},
+tagged AS (
+  SELECT *,
+    CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty_text'
+         WHEN ts IS NULL THEN 'null_ts'
+         WHEN turn_idx < 0 THEN 'bad_turn_idx' END AS error_reason
+  FROM tr
+),
+tok AS (
+  SELECT doc_id, conv_id, turn_idx, ts, error_reason,
+         string_split(lower(coalesce(text, '')), ' ') AS toks
+  FROM tagged
+),
+cnt AS (
+  SELECT doc_id, conv_id, turn_idx, ts, error_reason, label,
+         len(list_filter(toks, t -> t = label)) AS c,
+         len(toks) AS n_tok
+  FROM tok CROSS JOIN (SELECT unnest({_DOC_LABELS_SQL}) AS label)
+),
+scored AS (
+  SELECT *, CAST(c + 1 AS DOUBLE) / (5 + SUM(c) OVER (PARTITION BY doc_id)) AS score
+  FROM cnt
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+),
+turns AS (
+  SELECT conv_id, turn_idx, ts, error_reason,
+    CASE WHEN max(CASE WHEN rn = 1 THEN score END) < 0.25 THEN 'unknown'
+         ELSE max(CASE WHEN rn = 1 THEN label END) END AS top_prediction,
+    max(n_tok) * CAST(0.05 AS DOUBLE) AS processing_time_ms
+  FROM ranked GROUP BY doc_id, conv_id, turn_idx, ts, error_reason
+),
+per_label AS (
+  SELECT conv_id, top_prediction AS label,
+         string_agg(printf('turn-%05d', turn_idx), '","' ORDER BY turn_idx) AS files
+  FROM turns WHERE error_reason IS NULL GROUP BY conv_id, top_prediction
+),
+grouped AS (
+  SELECT conv_id,
+    '{{' || string_agg('"' || label || '":["' || files || '"]', ',' ORDER BY label) || '}}' AS grouped_json
+  FROM per_label GROUP BY conv_id
+),
+counters AS (
+  SELECT conv_id,
+    CAST(count(*) AS INTEGER) AS total,
+    CAST(sum(CASE WHEN error_reason IS NULL AND top_prediction <> 'unknown' THEN 1 ELSE 0 END) AS INTEGER) AS classified,
+    CAST(sum(CASE WHEN error_reason IS NULL AND top_prediction = 'unknown' THEN 1 ELSE 0 END) AS INTEGER) AS unknown,
+    CAST(sum(CASE WHEN error_reason IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS failed,
+    CAST(sum(CAST(round(processing_time_ms * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS processing_time_ms,
+    max(ts) AS completed_at
+  FROM turns GROUP BY conv_id
+)
+SELECT c.conv_id, 'completed' AS status, 'det-count-v1-docs' AS model_used,
+       total, classified, unknown, failed,
+       coalesce(grouped_json, '{{}}') AS grouped_json,
+       processing_time_ms, completed_at
+FROM counters c LEFT JOIN grouped g ON c.conv_id = g.conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -126,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["summary_projection"] = lambda s, d: _serve.summary_projection(_t(s, d, "documents"))
     q["content_type_map"] = lambda s, d: _serve.content_type_map(_t(s, d, "documents"))
     q["sanitize_keys"] = lambda s, d: _serve.sanitize_keys(_t(s, d, "documents"))
+    q["prefix_filter"] = lambda s, d: _serve.prefix_filter(_t(s, d, "documents"))
+    q["conjunction_filter"] = lambda s, d: _serve.conjunction_filter(_t(s, d, "orders"))
     q["display_topn"] = lambda s, d: _serve.display_topn(_t(s, d, "documents"))
 
     # --- aggregations / statistics (A7-A13) -------------------------------
@@ -137,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- windows / time-series (W1-W9, A12) --------------------------------
     q["tumbling_window"] = lambda s, d: _rollup.tumbling_window(_t(s, d, "events"))
+    q["sliding_window"] = lambda s, d: _rollup.sliding_window(_t(s, d, "events"))
     q["drain_rate"] = lambda s, d: _rollup.drain_rate(_t(s, d, "events"))
     q["moving_avg"] = lambda s, d: _rollup.moving_avg(_t(s, d, "events"))
     q["cumulative_sum"] = lambda s, d: _rollup.cumulative_sum(_t(s, d, "events"))
@@ -191,18 +290,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").filter(F.col("doc_id") < 100)
     )
 
-    # --- multimodal columns (rows-only: synthetic media, fake decoder) -----
+    # --- session fold + T6 dead-letter + S10 label-partitioned sink --------
+    q["conv_fold_docs"] = lambda s, d: _sessionize.conv_fold_docs(_t(s, d, "documents"))
+    q["conv_fold_failures"] = lambda s, d: _sessionize.conv_fold_docs(
+        _t(s, d, "documents"), with_failures=True
+    )
+    q["failed_rows"] = lambda s, d: split_failed(
+        _sessionize.corrupt_docs_transcripts(_t(s, d, "documents"))
+    )[1].select("doc_id", "conv_id", "turn_idx", "error_reason")
+    q["label_partition_read"] = lambda s, d: _label_partition_read(s, d)
+
+    # --- multimodal columns (synthetic media; decode is the fake seam) -----
     from distributed_classification_system_spark.operators import multimodal as _mm
 
     q["media_inventory"] = lambda s, d: _mm.media_inventory(_mm.gen_media(s, 200))
-    q["image_features"] = lambda s, d: _mm.image_features(_mm.gen_media(s, 200))
+    q["image_features"] = lambda s, d: _mm.image_features(_mm.gen_media(s, 200)).select(
+        "media_id",
+        "decode_w",
+        "decode_h",
+        F.concat_ws(
+            ",", F.transform("feat", lambda v: F.round(v.cast("double"), 5).cast("string"))
+        ).alias("feat_csv"),
+    )
     q["audio_frame_stats"] = lambda s, d: _mm.audio_frame_stats(_mm.gen_media(s, 200))
 
     # --- transcript engine (rows-only: input is engine-generated) -----------
-    q["flagship_summaries"] = lambda s, d: entry(s)
+    q["flagship_summaries"] = lambda s, d: entry(s).withColumn(
+        "grouped_by_label", F.to_json("grouped_by_label")
+    )
     q["stream_pipeline"] = lambda s, d: _stream_pipeline(s)
 
     return q
+
+
+def _label_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: classify -> partitionBy(label) write -> read ONE label partition
+    (ref layout jobid/label/filename, handlers.go:342-375)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="label_sink_")
+    return _sinks.label_partition_roundtrip(_t(spark, sf_dir, "documents"), out)
 
 
 def _stream_pipeline(spark: SparkSession) -> DataFrame:
@@ -220,25 +347,57 @@ def _stream_pipeline(spark: SparkSession) -> DataFrame:
     )
     from distributed_classification_system_spark.streaming import engine as eng
 
+    from distributed_classification_system_spark.operators.classify import classify_turns
+    from distributed_classification_system_spark.operators.sessionize import conv_summaries
+
     tmp = tempfile.mkdtemp(prefix="stream_pipeline_")
     inp, out = f"{tmp}/in", f"{tmp}/out"
     n = 120
-    eng.write_stream_fixture(gen_transcripts(spark, n), inp, n_files=3)
+    transcripts = gen_transcripts(spark, n)
+    config = gen_conv_config(spark, n)
+    registry = gen_label_registry(spark)
+    eng.write_stream_fixture(transcripts, inp, n_files=3)
     eng.run_stream(
-        spark, inp, out,
-        gen_conv_config(spark, n), gen_label_registry(spark),
-        max_files_per_trigger=1, await_termination=True,
+        spark, inp, out, config, registry,
+        max_files_per_trigger=1, fold_buckets=32, await_termination=True,
     )
-    result = eng.read_conv_summaries(spark, out).drop("batch_id", "part_id").cache()
-    result.count()
+    streamed = (
+        eng.read_conv_summaries(spark, out)
+        .drop("batch_id", "part_id")
+        # stringify JVM-side BEFORE materializing: a map column round-tripped
+        # through collect()/createDataFrame loses its sorted key order
+        .withColumn("grouped_by_label", F.to_json("grouped_by_label"))
+    )
+    # materialize BEFORE deleting the sink files (cache is not durable)
+    result = spark.createDataFrame(streamed.collect(), streamed.schema)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # self-check: the streaming engine must reproduce the batch fold exactly
+    # on the same input — makes the driver's rows-only check meaningful
+    cols = [
+        "conv_id", "status", "model_used", "total", "classified", "unknown",
+        "failed", "grouped_by_label", "processing_time_ms", "completed_at",
+    ]
+    batch = (
+        conv_summaries(classify_turns(transcripts, config, registry), config)
+        .withColumn("grouped_by_label", F.to_json("grouped_by_label"))
+        .select(cols)
+    )
+    a = result.select(cols)
+    n_diff = a.exceptAll(batch).count() + batch.exceptAll(a).count()
+    if n_diff:
+        raise AssertionError(f"stream/batch summary mismatch: {n_diff} rows differ")
     return result
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (tables pre-registered as views). Keys absent
-    here (simhash_near_dups, rolling_fingerprints, flagship_summaries) are
-    non-SQL-portable → rows-only checks."""
+    here are non-SQL-portable → rows-only checks: simhash_near_dups
+    (banded xxhash fingerprints), image_features / audio_frame_stats (the
+    fake-decoder seam), and flagship_summaries / stream_pipeline (inputs
+    are engine-generated via Spark xxhash64 — but stream_pipeline embeds a
+    hard batch≡stream equality assertion, and conv_fold_docs /
+    conv_fold_failures hash-verify the same session fold end-to-end)."""
     o: dict[str, str] = {}
 
     o["classify_docs_udf"] = _CLASSIFY_CTE + """
@@ -629,5 +788,96 @@ FROM base
     o["fingerprint"] = """
 SELECT doc_id, sha256(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
 FROM documents
+"""
+
+    o["prefix_filter"] = """
+SELECT source, lang, count(*) AS n_docs
+FROM documents WHERE source LIKE 'src1%'
+GROUP BY source, lang
+"""
+    o["conjunction_filter"] = """
+SELECT o_orderpriority, count(*) AS n,
+       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+    # each event lands in exactly two 30s-aligned 60s windows
+    o["sliding_window"] = """
+WITH expanded AS (
+  SELECT event_type, value,
+         TIMESTAMP '1970-01-01 00:00:00'
+           + INTERVAL (CAST(floor(epoch(ts) / 30) * 30 - k * 30 AS BIGINT)) SECOND AS win_start
+  FROM events CROSS JOIN (VALUES (0), (1)) v(k)
+)
+SELECT win_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM expanded GROUP BY win_start, event_type
+"""
+
+    o["conv_fold_docs"] = _fold_docs_oracle(with_failures=False)
+    o["conv_fold_failures"] = _fold_docs_oracle(with_failures=True)
+    o["failed_rows"] = """
+WITH tr0 AS (
+  SELECT doc_id, source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS idx0,
+         text
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, conv_id,
+    CAST(CASE WHEN doc_id % 23 = 0 THEN -(idx0 + 1) ELSE idx0 END AS INTEGER) AS turn_idx,
+    CASE WHEN doc_id % 13 = 0 THEN NULL WHEN doc_id % 17 = 0 THEN '' ELSE text END AS text,
+    CASE WHEN doc_id % 19 = 0 THEN NULL
+         ELSE TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (idx0) SECOND END AS ts
+  FROM tr0
+)
+SELECT doc_id, conv_id, turn_idx,
+  CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty_text'
+       WHEN ts IS NULL THEN 'null_ts'
+       WHEN turn_idx < 0 THEN 'bad_turn_idx' END AS error_reason
+FROM tr
+WHERE text IS NULL OR length(text) = 0 OR ts IS NULL OR turn_idx < 0
+"""
+    o["label_partition_read"] = _CLASSIFY_CTE + """
+SELECT doc_id, lang, top_prediction, top_confidence, pred_labels, reason,
+       processing_time_ms
+FROM classified WHERE top_prediction = 'spark'
+"""
+
+    # gen_media's metadata is plain modular arithmetic over range(n) —
+    # regenerated verbatim here (the opaque payload is never touched)
+    o["media_inventory"] = """
+WITH media AS (
+  SELECT id AS media_id,
+    CASE WHEN id % 3 = 0 THEN 'image' WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CASE WHEN id % 3 = 0 THEN (id % 4) * 64 + 128 END AS width,
+    CASE WHEN id % 3 = 0 THEN (id % 3) * 64 + 128 END AS height,
+    CASE WHEN id % 3 <> 0 THEN (id % 10) * 1000 + 500 END AS duration_ms
+  FROM range(200) t(id)
+)
+SELECT media_type, count(*) AS n,
+       CAST(sum(CASE WHEN width IS NOT NULL THEN width * height ELSE 0 END) AS BIGINT) AS total_pixels,
+       CAST(sum(coalesce(duration_ms, 0)) AS BIGINT) AS total_duration_ms
+FROM media GROUP BY media_type
+"""
+
+    # Rabin-Karp span fingerprints: Horner fold, token hash = first 48 md5
+    # bits (portable), mod 2^31-1, base 257, window 8
+    o["rolling_fingerprints"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+  unnest(list_distinct(list_transform(
+    generate_series(1, len(toks) - 7),
+    i -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks[i:i+7],
+               t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT))),
+           (acc, h) -> (acc * 257 + h) % 2147483647
+         )
+  ))) AS chunk_hash
+FROM docs WHERE len(toks) >= 8
 """
     return o

@@ -88,6 +88,21 @@ def tumbling_window(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_window(events: DataFrame) -> DataFrame:
+    """T4 sliding-window rollup: 60 s windows every 30 s — each event lands
+    in exactly two slide-aligned windows (metrics_collector.py's
+    overlapping-interval series). Oracle = explode each row into its two
+    window starts."""
+    return (
+        events.groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "avg_value")
+    )
+
+
 def _hourly_counts(events: DataFrame) -> DataFrame:
     return events.groupBy(_hour().alias("hour")).agg(F.count("*").alias("cnt"))
 

@@ -46,6 +46,27 @@ def whitelist_filter(events: DataFrame, allowed: tuple[str, ...] = ("click", "vi
     )
 
 
+def prefix_filter(documents: DataFrame, prefix: str = "src1") -> DataFrame:
+    """P2 explicit prefix filter (reference: S3 ListObjects prefix,
+    services/s3.go:69-71) — `startswith` pushes to the scan as a
+    StringStartsWith filter."""
+    return (
+        documents.filter(F.col("source").startswith(prefix))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def conjunction_filter(orders: DataFrame, status: str = "O", priority: str = "1-URGENT") -> DataFrame:
+    """P4 status + job_type conjunction filter (streamlit-app/
+    app.py:733-738) — two pushed predicates, then a count."""
+    return (
+        orders.filter((F.col("o_orderstatus") == status) & (F.col("o_orderpriority") == priority))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.min("o_orderdate").alias("first_date"), F.max("o_orderdate").alias("last_date"))
+    )
+
+
 def substring_search(documents: DataFrame, term: str = "spark") -> DataFrame:
     """P5 case-insensitive substring search (streamlit-app/app.py:304-312)."""
     return (

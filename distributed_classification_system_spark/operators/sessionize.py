@@ -24,13 +24,104 @@ from pyspark.sql import functions as F
 
 TURN_NAME = "turn-%05d"  # stable per-turn identifier (ref: filename, P8/P9)
 
+DOCS_MODEL = "det-count-v1-docs"
+DOCS_BASE_TS = "2025-01-01 00:00:00"
+
+
+def docs_as_transcripts(documents: DataFrame) -> DataFrame:
+    """Transcript-shaped view of the driver's documents table: one
+    conversation per source, turn order by doc_id. Exists so the session
+    fold (A1-A6) has a DuckDB-checkable input — the flagship's generated
+    transcripts use Spark xxhash64 and can't be regenerated in SQL."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return documents.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "doc_id",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit(DOCS_BASE_TS)) + F.make_interval(secs=F.col("turn_idx").cast("double")),
+    )
+
+
+def corrupt_docs_transcripts(documents: DataFrame) -> DataFrame:
+    """Deterministically damaged transcript view of documents — the T6
+    fixture: nulled/empty text, null ts, negative turn_idx. Corrupted
+    turn_idx stays distinct per conversation (-(idx+1), not a constant) so
+    idempotency dedup keeps every row and the view stays oracle-exact."""
+    tr = docs_as_transcripts(documents).join(documents.select("doc_id", "text"), "doc_id")
+    return (
+        tr.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 17 == 0, F.lit(""))
+            .otherwise(F.col("text")),
+        )
+        .withColumn("ts", F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("timestamp")).otherwise(F.col("ts")))
+        .withColumn(
+            "turn_idx",
+            F.when(F.col("doc_id") % 23 == 0, -(F.col("turn_idx") + 1)).otherwise(F.col("turn_idx")).cast("int"),
+        )
+    )
+
+
+def conv_fold_docs(documents: DataFrame, with_failures: bool = False) -> DataFrame:
+    """The A1 keyed session fold, driver-oracle form: classify the
+    documents table with the Catalyst kernel, fold per source-conversation,
+    emit the summary row with the label grouping serialized to stable JSON
+    (map key order = sorted label, file order = turn_idx — identical to
+    the streaming fold's emission, state.py:_summary_row).
+
+    ``with_failures=True`` runs the T6 path over the corrupted view:
+    failed rows count toward total/completion, never into the grouping."""
+    from distributed_classification_system_spark.functions.kernel import classify_expr
+    from distributed_classification_system_spark.functions.validate import error_reason_expr
+    from distributed_classification_system_spark.operators.classify import DOC_LABELS
+
+    tr = (
+        corrupt_docs_transcripts(documents)
+        if with_failures
+        else docs_as_transcripts(documents).join(documents.select("doc_id", "text"), "doc_id")
+    )
+    res = classify_expr(
+        F.col("text"), F.array(*[F.lit(l) for l in sorted(DOC_LABELS)]), F.lit(3), F.lit(0.25)
+    )
+    turns = tr.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lit(DOCS_MODEL).alias("model_used"),
+        res["top_prediction"].alias("top_prediction"),
+        res["processing_time_ms"].alias("processing_time_ms"),
+        error_reason_expr().alias("error_reason"),
+    )
+    config = documents.groupBy(F.col("source").alias("conv_id")).agg(
+        F.count("*").cast("int").alias("n_turns")
+    )
+    out = conv_summaries(turns, config)
+    return out.select(
+        "conv_id", "status", "model_used", "total", "classified", "unknown", "failed",
+        F.to_json("grouped_by_label").alias("grouped_json"),
+        "processing_time_ms", "completed_at",
+    )
+
 
 def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame:
-    """CONV_SUMMARIES rows from classified turns (batch form of A1)."""
+    """CONV_SUMMARIES rows from classified turns (batch form of A1).
+
+    If the input carries a T6 ``error_reason`` column, failed rows count
+    toward total/completion but never into classified/unknown or the
+    label grouping — identical to the streaming folds."""
     tr = turn_results.dropDuplicates(["conv_id", "turn_idx"])
+    if "error_reason" not in tr.columns:
+        tr = tr.withColumn("error_reason", F.lit(None).cast("string"))
+    err = F.col("error_reason").isNotNull()
 
     per_label = (
-        tr.groupBy("conv_id", "top_prediction")
+        tr.filter(~err)
+        .groupBy("conv_id", "top_prediction")
         .agg(
             F.transform(
                 F.array_sort(
@@ -49,8 +140,9 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
 
     counters = tr.groupBy("conv_id").agg(
         F.count("*").cast("int").alias("total"),
-        F.sum(F.when(F.col("top_prediction") != "unknown", 1).otherwise(0)).cast("int").alias("classified"),
-        F.sum(F.when(F.col("top_prediction") == "unknown", 1).otherwise(0)).cast("int").alias("unknown"),
+        F.sum(F.when(~err & (F.col("top_prediction") != "unknown"), 1).otherwise(0)).cast("int").alias("classified"),
+        F.sum(F.when(~err & (F.col("top_prediction") == "unknown"), 1).otherwise(0)).cast("int").alias("unknown"),
+        F.sum(F.when(err, 1).otherwise(0)).cast("int").alias("failed"),
         # exact integer cents → one IEEE division: order-independent total
         # (a raw double sum is shuffle-order-dependent and can't hash-match
         # the streaming fold or a SQL oracle)
@@ -62,7 +154,7 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
     )
 
     return (
-        counters.join(per_label, "conv_id")
+        counters.join(per_label, "conv_id", "left")  # all-failed conv → empty map
         .join(conv_config.select("conv_id", "n_turns"), "conv_id")
         .select(
             "conv_id",
@@ -73,7 +165,11 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
             "total",
             "classified",
             "unknown",
-            "grouped_by_label",
+            "failed",
+            F.coalesce(
+                "grouped_by_label",
+                F.expr("cast(map() as map<string,array<string>>)"),
+            ).alias("grouped_by_label"),
             "processing_time_ms",
             "completed_at",
         )

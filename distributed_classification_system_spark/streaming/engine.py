@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from distributed_classification_system_spark.functions.kernel import classify_udf
+from distributed_classification_system_spark.functions.validate import error_reason_expr
 from distributed_classification_system_spark.schemas import TRANSCRIPTS
 
 from distributed_classification_system_spark.streaming.state import (
@@ -90,6 +91,9 @@ def classified_stream(
         .withColumn("confidence_threshold", F.coalesce("confidence_threshold", F.lit(0.5)))
     )
     df = df.join(F.broadcast(registry.select("job_type", "model_name", "labels")), "job_type")
+    # T6 dead-letter tag: one codegen'd CASE per row; tagged rows still ride
+    # the same query (kernel is null-safe) and exit as row_type='error'
+    df = df.withColumn("error_reason", error_reason_expr())
     if salt_buckets:
         # spread hot conversations across tasks for the stateless kernel
         # stage; the keyed fold re-gathers by conv_id afterwards (T10)
@@ -104,6 +108,7 @@ def classified_stream(
         "ts",
         F.col("model_name").alias("model_used"),
         res.alias("r"),
+        "error_reason",
         "n_turns",
     ).select(
         "conv_id",
@@ -118,6 +123,7 @@ def classified_stream(
         F.to_json(F.col("r.all_predictions")).alias("all_predictions_json"),
         F.col("r.reason").alias("reason"),
         F.col("r.processing_time_ms").alias("processing_time_ms"),
+        "error_reason",
         "n_turns",
     )
 
@@ -186,6 +192,7 @@ TURN_SINK = T.StructType(
         T.StructField("all_predictions_json", T.StringType()),
         T.StructField("reason", T.StringType()),
         T.StructField("processing_time_ms", T.DoubleType()),
+        T.StructField("error_reason", T.StringType()),
         T.StructField("part_id", T.IntegerType()),
         T.StructField("batch_id", T.LongType()),
     ]
@@ -313,7 +320,7 @@ def run_stream(
     slim = (
         spark.readStream.schema(TURN_SINK)
         .parquet(os.path.join(out_dir, "turn_results", "b=*"))
-        .select("conv_id", "turn_idx", "top_prediction", "processing_time_ms", "ts", "model_used")
+        .select("conv_id", "turn_idx", "top_prediction", "processing_time_ms", "ts", "model_used", "error_reason")
         .withWatermark("ts", watermark)
         .join(F.broadcast(conv_config.select("conv_id", "n_turns")), "conv_id", "left")
         .withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(fold_buckets or DEFAULT_FOLD_BUCKETS)))
@@ -358,6 +365,15 @@ def read_turn_results(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def read_failed_turns(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The T6 dead-letter table: rows that failed validation, with the
+    reason (reference: error status messages -> failed counters,
+    ml-service/sqs_worker.py:96-119, handlers.go:306-336)."""
+    return _read_results(spark, out_dir, "error").select(
+        "conv_id", "turn_idx", "role", "ts", "error_reason", "batch_id", "part_id"
+    )
+
+
 def read_conv_summaries(spark: SparkSession, out_dir: str) -> DataFrame:
     """Summaries with the one-row-per-conversation contract enforced:
     'completed' beats 'timeout', then larger total, then earliest batch —
@@ -374,8 +390,8 @@ def read_conv_summaries(spark: SparkSession, out_dir: str) -> DataFrame:
         raw.select("conv_id", "batch_id", "part_id", F.from_json("summary_json", SUMMARY_JSON_SCHEMA).alias("s"))
         .select(
             "conv_id", "s.status", "s.model_used", "s.total", "s.classified",
-            "s.unknown", "s.grouped_by_label", "s.processing_time_ms",
-            "s.completed_at", "batch_id", "part_id",
+            "s.unknown", "s.failed", "s.grouped_by_label",
+            "s.processing_time_ms", "s.completed_at", "batch_id", "part_id",
         )
     )
     w = Window.partitionBy("conv_id").orderBy(

@@ -39,6 +39,7 @@ import json
 from collections.abc import Iterable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import types as T
 
@@ -57,6 +58,7 @@ FOLD_INPUT = T.StructType(
         T.StructField("all_predictions_json", T.StringType()),
         T.StructField("reason", T.StringType()),
         T.StructField("processing_time_ms", T.DoubleType()),
+        T.StructField("error_reason", T.StringType()),  # T6 dead-letter tag
         T.StructField("n_turns", T.IntegerType()),
     ]
 )
@@ -72,7 +74,7 @@ FOLD_OUTPUT = T.StructType(
 
 SUMMARY_JSON_SCHEMA = (
     "struct<status:string, model_used:string, total:int, classified:int,"
-    " unknown:int, grouped_by_label:map<string,array<string>>,"
+    " unknown:int, failed:int, grouped_by_label:map<string,array<string>>,"
     " processing_time_ms:double, completed_at:timestamp>"
 )
 
@@ -82,6 +84,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("n_expected", T.IntegerType()),
         T.StructField("classified", T.IntegerType()),
         T.StructField("unknown", T.IntegerType()),
+        T.StructField("failed", T.IntegerType()),  # T6 per-session error count
         T.StructField("sum_cents", T.DoubleType()),  # exact integer-valued
         T.StructField("max_ts_us", T.LongType()),
         T.StructField("model_used", T.StringType()),
@@ -111,6 +114,7 @@ def _summary_row(conv_id: str, status: str, st: dict[str, Any]) -> dict[str, Any
         "total": len(st["seen"]),
         "classified": st["classified"],
         "unknown": st["unknown"],
+        "failed": st["failed"],
         "grouped_by_label": grouped,
         # exact integer cents → one IEEE division: order-independent, so the
         # stream total hash-matches the batch fold / DuckDB decimal sum
@@ -156,6 +160,7 @@ def session_fold(
             "n_expected": -1,
             "classified": 0,
             "unknown": 0,
+            "failed": 0,
             "sum_cents": 0,
             "max_ts_us": 0,
             "model_used": None,
@@ -178,6 +183,7 @@ def session_fold(
             continue
         idxs = pdf["turn_idx"].to_numpy()
         preds = pdf["top_prediction"].to_numpy()
+        err = pdf["error_reason"].notna().to_numpy()
         seen.update(int(i) for i in idxs)
         # Unconfigured conversations arrive with null n_turns via the left
         # config join (engine.py); they stay open until the session timeout.
@@ -185,15 +191,21 @@ def session_fold(
         nexp = pdf["n_turns"].iloc[0]
         st["n_expected"] = int(nexp) if nexp is not None and nexp == nexp else -1
         st["model_used"] = pdf["model_used"].iloc[0]
-        unk = int((preds == "unknown").sum())
-        st["classified"] += len(preds) - unk
+        # T6: failed rows count toward total/completion, never into
+        # classified/unknown or the label grouping
+        nfail = int(err.sum())
+        unk = int(((preds == "unknown") & ~err).sum())
+        st["classified"] += len(preds) - unk - nfail
         st["unknown"] += unk
+        st["failed"] += nfail
         st["sum_cents"] += int(pdf["processing_time_ms"].mul(100).round().sum())
         st["max_ts_us"] = max(st["max_ts_us"], int(pdf["ts"].max().value // 1000))
-        for i, p in zip(idxs, preds):
+        for i, p in zip(idxs[~err], preds[~err]):
             labels.setdefault(p, []).append([int(i), TURN_NAME % int(i)])
         # single vectorized pass-through: input columns + two constants
-        out_parts.append(pdf.assign(row_type="turn", summary_json=None))
+        out_parts.append(
+            pdf.assign(row_type=np.where(err, "error", "turn"), summary_json=None)
+        )
 
     if out_parts:
         yield out_parts[0] if len(out_parts) == 1 else pd.concat(out_parts)
@@ -250,6 +262,7 @@ SLIM_FOLD_INPUT = T.StructType(
         T.StructField("processing_time_ms", T.DoubleType()),
         T.StructField("ts", T.TimestampType()),
         T.StructField("model_used", T.StringType()),
+        T.StructField("error_reason", T.StringType()),
         T.StructField("n_turns", T.IntegerType()),
     ]
 )
@@ -269,6 +282,7 @@ def _new_conv_state() -> dict[str, Any]:
         "n_expected": -1,
         "classified": 0,
         "unknown": 0,
+        "failed": 0,
         "sum_cents": 0,
         "max_ts_us": 0,
         "model_used": None,
@@ -329,19 +343,23 @@ def bucket_session_fold(
         if pdf.empty:
             continue
 
-        # per-turn pass-through: ONE vectorized assign for the whole bucket
-        yield pdf.assign(row_type="turn", summary_json=None)
+        # per-turn pass-through: ONE vectorized assign for the whole bucket;
+        # T6 rows surface as row_type='error' in the same sink pass
+        yield pdf.assign(
+            row_type=np.where(pdf["error_reason"].notna(), "error", "turn"),
+            summary_json=None,
+        )
         seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
 
         # per-conversation increments via numpy group-boundary reductions —
         # no per-group pandas objects, no iterrows, no agg(list)
-        import numpy as np
-
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
         conv_arr = pdf["conv_id"].to_numpy()
         idx_arr = pdf["turn_idx"].to_numpy()
         pred_arr = pdf["top_prediction"].to_numpy()
-        unk_arr = (pred_arr == "unknown").astype("int64")
+        err_arr = pdf["error_reason"].notna().to_numpy()
+        unk_arr = ((pred_arr == "unknown") & ~err_arr).astype("int64")
+        fail_arr = err_arr.astype("int64")
         ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
         ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
         nexp_arr = pdf["n_turns"].to_numpy()
@@ -350,6 +368,7 @@ def bucket_session_fold(
         uconv, starts = np.unique(conv_arr, return_index=True)  # sorted input
         ends = np.append(starts[1:], len(conv_arr))
         unk_sums = np.add.reduceat(unk_arr, starts)
+        fail_sums = np.add.reduceat(fail_arr, starts)
         ms_sums = np.add.reduceat(ms_arr, starts)
         ts_maxs = np.maximum.reduceat(ts_arr, starts)
 
@@ -362,14 +381,16 @@ def bucket_session_fold(
             # null n_turns (unconfigured conversation) → close by timeout
             st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
             st["model_used"] = model_arr[s]
-            st["classified"] += (e - s) - int(unk_sums[gi])
+            st["classified"] += (e - s) - int(unk_sums[gi]) - int(fail_sums[gi])
             st["unknown"] += int(unk_sums[gi])
+            st["failed"] += int(fail_sums[gi])
             st["sum_cents"] += int(ms_sums[gi])
             st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
             st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
             labels = st["labels"]
-            preds_slice = pred_arr[s:e]
-            idxs_slice = idx_arr[s:e]
+            ok = ~err_arr[s:e]
+            preds_slice = pred_arr[s:e][ok]
+            idxs_slice = idx_arr[s:e][ok]
             for p in dict.fromkeys(preds_slice):  # distinct, order-stable
                 labels.setdefault(p, []).extend(
                     [int(i), TURN_NAME % int(i)]
@@ -407,8 +428,6 @@ def bucket_summary_fold(
     bucket_session_fold but input is the SLIM per-turn record (no payload)
     and output is summaries only — the per-turn stream already landed via
     the stateless exactly-once path (Q1)."""
-    import numpy as np
-
     wm_ms = state.getCurrentWatermarkMs()
 
     if state.hasTimedOut:
@@ -443,7 +462,9 @@ def bucket_summary_fold(
         conv_arr = pdf["conv_id"].to_numpy()
         idx_arr = pdf["turn_idx"].to_numpy()
         pred_arr = pdf["top_prediction"].to_numpy()
-        unk_arr = (pred_arr == "unknown").astype("int64")
+        err_arr = pdf["error_reason"].notna().to_numpy()
+        unk_arr = ((pred_arr == "unknown") & ~err_arr).astype("int64")
+        fail_arr = err_arr.astype("int64")
         ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
         ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
         nexp_raw = pdf["n_turns"].to_numpy()
@@ -452,6 +473,7 @@ def bucket_summary_fold(
         uconv, starts = np.unique(conv_arr, return_index=True)
         ends = np.append(starts[1:], len(conv_arr))
         unk_sums = np.add.reduceat(unk_arr, starts)
+        fail_sums = np.add.reduceat(fail_arr, starts)
         ms_sums = np.add.reduceat(ms_arr, starts)
         ts_maxs = np.maximum.reduceat(ts_arr, starts)
 
@@ -463,14 +485,16 @@ def bucket_summary_fold(
             nexp = nexp_raw[s]
             st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
             st["model_used"] = model_arr[s]
-            st["classified"] += (e - s) - int(unk_sums[gi])
+            st["classified"] += (e - s) - int(unk_sums[gi]) - int(fail_sums[gi])
             st["unknown"] += int(unk_sums[gi])
+            st["failed"] += int(fail_sums[gi])
             st["sum_cents"] += int(ms_sums[gi])
             st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
             st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
             labels = st["labels"]
-            preds_slice = pred_arr[s:e]
-            idxs_slice = idx_arr[s:e]
+            ok = ~err_arr[s:e]
+            preds_slice = pred_arr[s:e][ok]
+            idxs_slice = idx_arr[s:e][ok]
             for p in dict.fromkeys(preds_slice):
                 labels.setdefault(p, []).extend(
                     [int(i), TURN_NAME % int(i)]
@@ -497,12 +521,13 @@ def _state_dict(tup) -> dict[str, Any]:
         "n_expected": tup[0],
         "classified": tup[1],
         "unknown": tup[2],
-        "sum_cents": int(tup[3]),
-        "max_ts_us": tup[4],
-        "model_used": tup[5],
-        "seen": list(tup[6]) if tup[6] is not None else [],
-        "labels_json": tup[7] or "{}",
-        "done": bool(tup[8]),
+        "failed": tup[3],
+        "sum_cents": int(tup[4]),
+        "max_ts_us": tup[5],
+        "model_used": tup[6],
+        "seen": list(tup[7]) if tup[7] is not None else [],
+        "labels_json": tup[8] or "{}",
+        "done": bool(tup[9]),
     }
 
 
@@ -511,6 +536,7 @@ def _state_tuple(st: dict[str, Any]) -> tuple:
         st["n_expected"],
         st["classified"],
         st["unknown"],
+        st["failed"],
         float(st["sum_cents"]),
         st["max_ts_us"],
         st["model_used"],

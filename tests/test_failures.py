@@ -1,0 +1,121 @@
+"""T6 failure side-output + S10 label-partitioned sink tests.
+
+Reference behavior reproduced: per-item errors are recorded (not fatal),
+the job keeps going and completes counting failures
+(ml-service/sqs_worker.py:96-119, handlers.go:306-336); results are laid
+out one-folder-per-label (handlers.go:342-375).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_classification_system_spark.functions.validate import split_failed, with_error_reason
+from distributed_classification_system_spark.operators.classify import classify_turns
+from distributed_classification_system_spark.operators.sessionize import conv_summaries
+from distributed_classification_system_spark.operators import sinks
+from distributed_classification_system_spark.sources.gen import (
+    gen_conv_config,
+    gen_label_registry,
+    gen_transcripts,
+)
+from distributed_classification_system_spark.streaming import engine as eng
+
+N = 40
+
+def _corrupted(spark, n=N):
+    """Deterministic corruption: ~1/7 of turns get null text."""
+    corrupt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(7)) == 0
+    t = gen_transcripts(spark, n)
+    return t.withColumn(
+        "text", F.when(corrupt, F.lit(None).cast("string")).otherwise(F.col("text"))
+    )
+
+
+def test_stream_failure_side_output(spark, tmp_path):
+    """Invalid rows exit as row_type='error' with a reason; the turn sink
+    stays clean; sessions still complete, counting the failures."""
+    t = _corrupted(spark)
+    n_bad = t.filter(F.col("text").isNull()).count()
+    assert n_bad > 0
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    eng.write_stream_fixture(t, inp, n_files=4)
+    eng.run_stream(
+        spark, inp, out, gen_conv_config(spark, N), gen_label_registry(spark),
+        max_files_per_trigger=1, await_termination=True,
+    )
+
+    failed = eng.read_failed_turns(spark, out)
+    assert failed.count() == n_bad
+    assert failed.filter(F.col("error_reason") != "empty_text").count() == 0
+
+    turns = eng.read_turn_results(spark, out)
+    assert turns.count() == t.count() - n_bad
+    assert turns.filter(F.col("text").isNull()).count() == 0
+
+    summ = eng.read_conv_summaries(spark, out)
+    agg = summ.agg(
+        F.sum("failed").alias("failed"),
+        F.sum("total").alias("total"),
+        F.sum(F.col("classified") + F.col("unknown") + F.col("failed")).alias("acct"),
+    ).collect()[0]
+    assert agg.failed == n_bad
+    assert agg.acct == agg.total == t.count()
+    # failures count toward completion: nothing should be left open
+    assert summ.filter(F.col("status") != "completed").count() == 0
+
+
+def test_stream_failures_match_batch_fold(spark, tmp_path):
+    """batch ≡ stream under corruption: same counters, same grouping."""
+    t = _corrupted(spark)
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    eng.write_stream_fixture(t, inp, n_files=4)
+    cfg = gen_conv_config(spark, N)
+    reg = gen_label_registry(spark)
+    eng.run_stream(
+        spark, inp, out, cfg, reg, max_files_per_trigger=1, await_termination=True
+    )
+    cols = ["conv_id", "status", "total", "classified", "unknown", "failed", "g", "processing_time_ms"]
+    s = (
+        eng.read_conv_summaries(spark, out)
+        .withColumn("g", F.to_json("grouped_by_label"))
+        .select(cols)
+    )
+    b = (
+        conv_summaries(with_error_reason(classify_turns(t, cfg, reg)), cfg)
+        .withColumn("g", F.to_json("grouped_by_label"))
+        .select(cols)
+    )
+    assert s.exceptAll(b).count() == 0 and b.exceptAll(s).count() == 0
+
+
+def test_split_failed_batch(spark):
+    t = _corrupted(spark)
+    ok, bad = split_failed(t)
+    assert ok.count() + bad.count() == t.count()
+    assert bad.filter(F.col("error_reason").isNull()).count() == 0
+    assert "error_reason" not in ok.columns
+
+
+def test_label_partitioned_sink_layout_and_pruning(spark, tmp_path):
+    """S10: the directory tree IS the label grouping, and reading one label
+    prunes the other partitions at the scan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "labels")
+    got = sinks.label_partition_roundtrip(docs, out, label="spark")
+
+    parts = sorted(p for p in os.listdir(out) if p.startswith("top_prediction="))
+    assert "top_prediction=spark" in parts and len(parts) > 1
+
+    from distributed_classification_system_spark.operators.classify import classify_documents
+
+    expected = classify_documents(docs, use_expr=True).filter(
+        F.col("top_prediction") == "spark"
+    )
+    assert got.count() == expected.count() > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "top_prediction" in plan.split("PartitionFilters")[1].split("\n")[0]
