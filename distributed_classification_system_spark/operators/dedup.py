@@ -145,25 +145,44 @@ _SIMHASH_SCHEMA = T.StructType(
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash fingerprint: per-token blake2b hash, bitwise majority
-    vote (vectorized over the Arrow batch). Near-dups differ in few bits."""
+    vote. Fully batch-vectorized: tokens are exploded once per Arrow batch,
+    blake2b runs only over the batch's UNIQUE tokens (natural-language
+    vocabulary is tiny relative to token count), and the per-(row, bit)
+    vote matrix is one numpy scatter-add — no per-token Python in the
+    fingerprint path."""
     import hashlib
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, txt in enumerate(text):
-        tokens = (txt or "").lower().split()
-        if not tokens:
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for t in tokens:
-            h = np.uint64(int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            votes += 2 * bits - 1
-        sh = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sh |= 1 << b
-        out[i] = sh - (1 << 64) if sh >= 1 << 63 else sh
+    n = len(text)
+    shifts = np.arange(64, dtype=np.uint64)
+    exploded = text.fillna("").str.lower().str.split().explode().dropna()
+    if exploded.empty:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    row_of = exploded.index.to_numpy(dtype=np.int64)  # nondecreasing
+    codes, uniques = pd.factorize(exploded.to_numpy(dtype=object))
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "big")
+            for u in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    # (64 × tokens) bit planes; per-doc bit counts via contiguous-run
+    # reduceat along the LAST axis (the fast path — axis-0 reduceat and
+    # np.add.at both measured 5-50x slower on this shape)
+    ubits_t = np.ascontiguousarray(
+        ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32).T
+    )
+    tok_bits = ubits_t[:, codes]
+    starts = np.flatnonzero(np.diff(row_of, prepend=-1))
+    ones = np.add.reduceat(tok_bits, starts, axis=1)
+    cnt = np.diff(np.append(starts, len(row_of)))
+    votes = 2 * ones.astype(np.int64) - cnt[None, :]
+    packed = ((votes > 0).astype(np.uint64) * (np.uint64(1) << shifts)[:, None]).sum(
+        axis=0, dtype=np.uint64
+    )  # disjoint bits: sum == bitwise OR
+    out = np.zeros(n, dtype=np.int64)
+    out[row_of[starts]] = packed.view(np.int64)
     return pd.Series(out)
 
 

@@ -102,11 +102,13 @@ _EMPTY = {c: None for c in _OUT_COLS}
 
 
 def _summary_row(conv_id: str, status: str, st: dict[str, Any]) -> dict[str, Any]:
-    labels: dict[str, list[tuple[int, str]]] = (
+    labels: dict[str, list[int]] = (
         st["labels"] if "labels" in st else json.loads(st["labels_json"])
     )
+    # state stores turn indexes only; the stable name is derived here —
+    # half the state-blob JSON and no per-turn formatting in the hot fold
     grouped = {
-        lab: [name for _, name in sorted(pairs)] for lab, pairs in sorted(labels.items())
+        lab: [TURN_NAME % i for i in sorted(idxs)] for lab, idxs in sorted(labels.items())
     }
     payload = {
         "status": status,
@@ -201,7 +203,7 @@ def session_fold(
         st["sum_cents"] += int(pdf["processing_time_ms"].mul(100).round().sum())
         st["max_ts_us"] = max(st["max_ts_us"], int(pdf["ts"].max().value // 1000))
         for i, p in zip(idxs[~err], preds[~err]):
-            labels.setdefault(p, []).append([int(i), TURN_NAME % int(i)])
+            labels.setdefault(p, []).append(int(i))
         # single vectorized pass-through: input columns + two constants
         out_parts.append(
             pdf.assign(row_type=np.where(err, "error", "turn"), summary_json=None)
@@ -217,8 +219,12 @@ def session_fold(
     if complete and not st["done"]:
         st["done"] = True
         yield _summary_frame([_summary_row(conv_id, "completed", st)])
-        # tombstone retained: dedups post-completion redelivery until the
-        # watermark expires it
+        # tombstone retained until the watermark expires it, but SLIM:
+        # post-completion redelivery dedups on the done flag alone, so the
+        # seen-set and label grouping are dead weight in every later
+        # state-store round-trip
+        st["seen"] = []
+        st["labels_json"] = "{}"
 
     state.update(_state_tuple(st))
     # session-window close semantics: time out once the event-time
@@ -393,13 +399,14 @@ def bucket_session_fold(
             idxs_slice = idx_arr[s:e][ok]
             for p in dict.fromkeys(preds_slice):  # distinct, order-stable
                 labels.setdefault(p, []).extend(
-                    [int(i), TURN_NAME % int(i)]
-                    for i in idxs_slice[preds_slice == p]
+                    int(i) for i in idxs_slice[preds_slice == p]
                 )
             if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
-                st["done"] = True  # tombstone until watermark expiry
+                st["done"] = True  # slim tombstone until watermark expiry
                 done_convs.add(conv_id)
                 summaries.append(_summary_row(conv_id, "completed", st))
+                st["seen"] = []
+                st["labels"] = {}
 
     summaries.extend(_expire_due(states, wm_ms))
     if summaries:
@@ -497,13 +504,14 @@ def bucket_summary_fold(
             idxs_slice = idx_arr[s:e][ok]
             for p in dict.fromkeys(preds_slice):
                 labels.setdefault(p, []).extend(
-                    [int(i), TURN_NAME % int(i)]
-                    for i in idxs_slice[preds_slice == p]
+                    int(i) for i in idxs_slice[preds_slice == p]
                 )
             if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
                 st["done"] = True
                 done_convs.add(conv_id)
                 summaries.append(_summary_row(conv_id, "completed", st))
+                st["seen"] = []
+                st["labels"] = {}
 
     summaries.extend(_expire_due(states, wm_ms))
     if summaries:
