@@ -65,3 +65,27 @@ def test_real_codec_seam_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_audio_rms_matches_scalar_reference(spark):
+    """Frame RMS values must equal an independent scalar recomputation
+    from the same deterministic fake-decoded sample stream."""
+    import numpy as np
+
+    df = mm.gen_media(spark, 30)
+    got = {
+        (r.media_id, r.frame_idx): r.rms
+        for r in mm.audio_frame_stats(df, frame_ms=250).collect()
+    }
+    rows = df.filter("meta.media_type = 'audio'").select(
+        "media_id", "payload", "meta.duration_ms"
+    ).collect()
+    n_checked = 0
+    for r in rows:
+        n_frames = max(1, int(r.duration_ms) // 250)
+        samples = mm.decode_image(bytes(r.payload), 64, n_frames, fake=True)
+        for i in range(n_frames):
+            want = float(np.sqrt((samples[i] ** 2).mean()))
+            assert got[(r.media_id, i)] == want
+            n_checked += 1
+    assert n_checked == len(got) > 0

@@ -110,3 +110,32 @@ def test_rolling_fingerprint_shift_invariance(spark):
         .filter("n = 2").count()
     )
     assert shared >= 2  # common windows detected despite the shift
+
+
+def test_simhash_matches_scalar_reference(spark):
+    """The vectorized fingerprint must equal an independent per-token
+    scalar implementation (the operator's local oracle — blake2b is not
+    available in DuckDB, so this is the hash-exactness check)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from distributed_classification_system_spark.operators.dedup import simhash64
+
+    def scalar_simhash(txt: str | None) -> int:
+        tokens = (txt or "").lower().split()
+        if not tokens:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for t in tokens:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sh = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sh - (1 << 64) if sh >= 1 << 63 else sh
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    got = {r.doc_id: r.sh for r in docs.select("doc_id", simhash64("text").alias("sh")).collect()}
+    want = {r.doc_id: scalar_simhash(r.text) for r in docs.collect()}
+    assert got == want
