@@ -155,6 +155,25 @@ def folded_stream(classified: DataFrame, fold_buckets: int | None = DEFAULT_FOLD
     )
 
 
+def tws_folded_stream(
+    classified: DataFrame, fold_buckets: int | None = DEFAULT_FOLD_BUCKETS
+) -> DataFrame:
+    """The same bucketed session fold on Spark 4's transformWithState API
+    (StatefulProcessor + RocksDB + real per-key timers). Differential-
+    tested against folded_stream; see streaming/tws.py."""
+    from distributed_classification_system_spark.streaming.tws import BucketFoldProcessor
+
+    bucketed = classified.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(fold_buckets or DEFAULT_FOLD_BUCKETS))
+    )
+    return bucketed.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=BucketFoldProcessor(),
+        outputStructType=FOLD_OUTPUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def _sink_batch(out_dir: str):
     """One write per micro-batch: the fold's union output lands in its own
     batch_id directory (idempotent overwrite under replay — the
@@ -284,16 +303,43 @@ def run_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    if mode == "unified":
+    if mode in ("unified", "tws"):
         classified = classified_stream(stream, conv_config, registry, salt_buckets, watermark)
-        folded = folded_stream(classified, fold_buckets)
-        q = (
-            folded.writeStream.outputMode("append")
-            .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(_sink_batch(out_dir))
-            .trigger(availableNow=True)
-            .start()
-        )
+        prev_provider = None
+        if mode == "tws":
+            # transformWithState requires the RocksDB store; the provider
+            # is captured at query start, so set-then-restore is safe
+            from distributed_classification_system_spark.streaming.tws import (
+                ROCKSDB_PROVIDER,
+                tws_available,
+            )
+
+            if not tws_available():
+                raise RuntimeError(
+                    "mode='tws' needs google.protobuf (transformWithState's "
+                    "state protocol), which is not installed here — see "
+                    "streaming/tws.py; use mode='unified' instead"
+                )
+            key = "spark.sql.streaming.stateStore.providerClass"
+            prev_provider = spark.conf.get(key, None)
+            spark.conf.set(key, ROCKSDB_PROVIDER)
+            folded = tws_folded_stream(classified, fold_buckets)
+        else:
+            folded = folded_stream(classified, fold_buckets)
+        try:
+            q = (
+                folded.writeStream.outputMode("append")
+                .option("checkpointLocation", checkpoint_dir)
+                .foreachBatch(_sink_batch(out_dir))
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if mode == "tws":
+                if prev_provider:
+                    spark.conf.set(key, prev_provider)
+                else:
+                    spark.conf.unset(key)
         if await_termination:
             q.awaitTermination()
             _finish()

@@ -312,6 +312,93 @@ def _expire_due(states: dict[str, dict], wm_ms: int) -> list[dict[str, Any]]:
     return out
 
 
+
+def _fold_one_pdf(
+    pdf: pd.DataFrame,
+    states: dict[str, dict],
+    seen_keys: set[str],
+    done_convs: set[str],
+    summaries: list[dict[str, Any]],
+    emit_turns: bool = True,
+) -> pd.DataFrame | None:
+    """Fold ONE micro-batch slice into the bucket's per-conversation
+    states (shared by the applyInPandasWithState and transformWithState
+    bucket folds). Mutates states/seen_keys/done_convs/summaries; returns
+    the per-turn pass-through frame (row_type turn|error) or None."""
+    # transformWithState strips the grouping column before the processor;
+    # applyInPandasWithState keeps it — tolerate both
+    pdf = pdf.drop(columns=["bucket"], errors="ignore").drop_duplicates(["conv_id", "turn_idx"])
+    if seen_keys:
+        keys = pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str)
+        pdf = pdf[~keys.isin(seen_keys)]
+    if done_convs:
+        pdf = pdf[~pdf["conv_id"].isin(done_convs)]
+    if pdf.empty:
+        return None
+
+    # per-turn pass-through: ONE vectorized assign for the whole bucket;
+    # T6 rows surface as row_type='error' in the same sink pass
+    out = (
+        pdf.assign(
+            row_type=np.where(pdf["error_reason"].notna(), "error", "turn"),
+            summary_json=None,
+        )
+        if emit_turns
+        else None
+    )
+    seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
+
+    # per-conversation increments via numpy group-boundary reductions —
+    # no per-group pandas objects, no iterrows, no agg(list)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"])
+    conv_arr = pdf["conv_id"].to_numpy()
+    idx_arr = pdf["turn_idx"].to_numpy()
+    pred_arr = pdf["top_prediction"].to_numpy()
+    err_arr = pdf["error_reason"].notna().to_numpy()
+    unk_arr = ((pred_arr == "unknown") & ~err_arr).astype("int64")
+    fail_arr = err_arr.astype("int64")
+    ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
+    ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+    nexp_arr = pdf["n_turns"].to_numpy()
+    model_arr = pdf["model_used"].to_numpy()
+
+    uconv, starts = np.unique(conv_arr, return_index=True)  # sorted input
+    ends = np.append(starts[1:], len(conv_arr))
+    unk_sums = np.add.reduceat(unk_arr, starts)
+    fail_sums = np.add.reduceat(fail_arr, starts)
+    ms_sums = np.add.reduceat(ms_arr, starts)
+    ts_maxs = np.maximum.reduceat(ts_arr, starts)
+
+    for gi, conv_id in enumerate(uconv):
+        s, e = int(starts[gi]), int(ends[gi])
+        st = states.get(conv_id)
+        if st is None:
+            st = states[conv_id] = _new_conv_state()
+        nexp = nexp_arr[s]
+        # null n_turns (unconfigured conversation) → close by timeout
+        st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
+        st["model_used"] = model_arr[s]
+        st["classified"] += (e - s) - int(unk_sums[gi]) - int(fail_sums[gi])
+        st["unknown"] += int(unk_sums[gi])
+        st["failed"] += int(fail_sums[gi])
+        st["sum_cents"] += int(ms_sums[gi])
+        st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
+        st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
+        labels = st["labels"]
+        ok = ~err_arr[s:e]
+        preds_slice = pred_arr[s:e][ok]
+        idxs_slice = idx_arr[s:e][ok]
+        for p in dict.fromkeys(preds_slice):  # distinct, order-stable
+            labels.setdefault(p, []).extend(int(i) for i in idxs_slice[preds_slice == p])
+        if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
+            st["done"] = True  # slim tombstone until watermark expiry
+            done_convs.add(conv_id)
+            summaries.append(_summary_row(conv_id, "completed", st))
+            st["seen"] = []
+            st["labels"] = {}
+    return out
+
+
 def bucket_session_fold(
     key: tuple[int],
     pdfs: Iterable[pd.DataFrame],
@@ -340,73 +427,9 @@ def bucket_session_fold(
 
     summaries = []
     for pdf in pdfs:
-        pdf = pdf.drop(columns=["bucket"]).drop_duplicates(["conv_id", "turn_idx"])
-        if seen_keys:
-            keys = pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str)
-            pdf = pdf[~keys.isin(seen_keys)]
-        if done_convs:
-            pdf = pdf[~pdf["conv_id"].isin(done_convs)]
-        if pdf.empty:
-            continue
-
-        # per-turn pass-through: ONE vectorized assign for the whole bucket;
-        # T6 rows surface as row_type='error' in the same sink pass
-        yield pdf.assign(
-            row_type=np.where(pdf["error_reason"].notna(), "error", "turn"),
-            summary_json=None,
-        )
-        seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
-
-        # per-conversation increments via numpy group-boundary reductions —
-        # no per-group pandas objects, no iterrows, no agg(list)
-        pdf = pdf.sort_values(["conv_id", "turn_idx"])
-        conv_arr = pdf["conv_id"].to_numpy()
-        idx_arr = pdf["turn_idx"].to_numpy()
-        pred_arr = pdf["top_prediction"].to_numpy()
-        err_arr = pdf["error_reason"].notna().to_numpy()
-        unk_arr = ((pred_arr == "unknown") & ~err_arr).astype("int64")
-        fail_arr = err_arr.astype("int64")
-        ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
-        ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        nexp_arr = pdf["n_turns"].to_numpy()
-        model_arr = pdf["model_used"].to_numpy()
-
-        uconv, starts = np.unique(conv_arr, return_index=True)  # sorted input
-        ends = np.append(starts[1:], len(conv_arr))
-        unk_sums = np.add.reduceat(unk_arr, starts)
-        fail_sums = np.add.reduceat(fail_arr, starts)
-        ms_sums = np.add.reduceat(ms_arr, starts)
-        ts_maxs = np.maximum.reduceat(ts_arr, starts)
-
-        for gi, conv_id in enumerate(uconv):
-            s, e = int(starts[gi]), int(ends[gi])
-            st = states.get(conv_id)
-            if st is None:
-                st = states[conv_id] = _new_conv_state()
-            nexp = nexp_arr[s]
-            # null n_turns (unconfigured conversation) → close by timeout
-            st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
-            st["model_used"] = model_arr[s]
-            st["classified"] += (e - s) - int(unk_sums[gi]) - int(fail_sums[gi])
-            st["unknown"] += int(unk_sums[gi])
-            st["failed"] += int(fail_sums[gi])
-            st["sum_cents"] += int(ms_sums[gi])
-            st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
-            st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
-            labels = st["labels"]
-            ok = ~err_arr[s:e]
-            preds_slice = pred_arr[s:e][ok]
-            idxs_slice = idx_arr[s:e][ok]
-            for p in dict.fromkeys(preds_slice):  # distinct, order-stable
-                labels.setdefault(p, []).extend(
-                    int(i) for i in idxs_slice[preds_slice == p]
-                )
-            if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
-                st["done"] = True  # slim tombstone until watermark expiry
-                done_convs.add(conv_id)
-                summaries.append(_summary_row(conv_id, "completed", st))
-                st["seen"] = []
-                st["labels"] = {}
+        out = _fold_one_pdf(pdf, states, seen_keys, done_convs, summaries)
+        if out is not None:
+            yield out
 
     summaries.extend(_expire_due(states, wm_ms))
     if summaries:
@@ -455,63 +478,7 @@ def bucket_summary_fold(
 
     summaries = []
     for pdf in pdfs:
-        pdf = pdf.drop(columns=["bucket"]).drop_duplicates(["conv_id", "turn_idx"])
-        if seen_keys:
-            keys = pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str)
-            pdf = pdf[~keys.isin(seen_keys)]
-        if done_convs:
-            pdf = pdf[~pdf["conv_id"].isin(done_convs)]
-        if pdf.empty:
-            continue
-        seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
-
-        pdf = pdf.sort_values(["conv_id", "turn_idx"])
-        conv_arr = pdf["conv_id"].to_numpy()
-        idx_arr = pdf["turn_idx"].to_numpy()
-        pred_arr = pdf["top_prediction"].to_numpy()
-        err_arr = pdf["error_reason"].notna().to_numpy()
-        unk_arr = ((pred_arr == "unknown") & ~err_arr).astype("int64")
-        fail_arr = err_arr.astype("int64")
-        ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
-        ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        nexp_raw = pdf["n_turns"].to_numpy()
-        model_arr = pdf["model_used"].to_numpy()
-
-        uconv, starts = np.unique(conv_arr, return_index=True)
-        ends = np.append(starts[1:], len(conv_arr))
-        unk_sums = np.add.reduceat(unk_arr, starts)
-        fail_sums = np.add.reduceat(fail_arr, starts)
-        ms_sums = np.add.reduceat(ms_arr, starts)
-        ts_maxs = np.maximum.reduceat(ts_arr, starts)
-
-        for gi, conv_id in enumerate(uconv):
-            s, e = int(starts[gi]), int(ends[gi])
-            st = states.get(conv_id)
-            if st is None:
-                st = states[conv_id] = _new_conv_state()
-            nexp = nexp_raw[s]
-            st["n_expected"] = int(nexp) if nexp == nexp and nexp is not None else -1
-            st["model_used"] = model_arr[s]
-            st["classified"] += (e - s) - int(unk_sums[gi]) - int(fail_sums[gi])
-            st["unknown"] += int(unk_sums[gi])
-            st["failed"] += int(fail_sums[gi])
-            st["sum_cents"] += int(ms_sums[gi])
-            st["max_ts_us"] = max(st["max_ts_us"], int(ts_maxs[gi]))
-            st["seen"] = sorted(set(st["seen"]).union(int(i) for i in idx_arr[s:e]))
-            labels = st["labels"]
-            ok = ~err_arr[s:e]
-            preds_slice = pred_arr[s:e][ok]
-            idxs_slice = idx_arr[s:e][ok]
-            for p in dict.fromkeys(preds_slice):
-                labels.setdefault(p, []).extend(
-                    int(i) for i in idxs_slice[preds_slice == p]
-                )
-            if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
-                st["done"] = True
-                done_convs.add(conv_id)
-                summaries.append(_summary_row(conv_id, "completed", st))
-                st["seen"] = []
-                st["labels"] = {}
+        _fold_one_pdf(pdf, states, seen_keys, done_convs, summaries, emit_turns=False)
 
     summaries.extend(_expire_due(states, wm_ms))
     if summaries:

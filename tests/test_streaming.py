@@ -244,3 +244,21 @@ def test_streaming_salting_invariance(spark, tdir):
     b = _summary_key(eng.read_conv_summaries(spark, out_plain).collect())
     assert a == b
     assert a["conv-00000000"][1] == 500  # the hot conv completed in full
+
+
+def test_tws_fold_equals_unified(spark, tdir):
+    """transformWithState fold ≡ applyInPandasWithState fold (Spark 4
+    next-gen stateful API differential). Auto-skips where google.protobuf
+    (the transformWithState state protocol) is not installed."""
+    from distributed_classification_system_spark.streaming.tws import tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed: transformWithState unavailable")
+    out_tws = _run(spark, tdir, sub="tws", run_kw={"mode": "tws"})
+    out_uni = _run(spark, tdir, sub="uni", run_kw={"mode": "unified"})
+    assert _summary_key(eng.read_conv_summaries(spark, out_tws).collect()) == _summary_key(
+        eng.read_conv_summaries(spark, out_uni).collect()
+    )
+    ta = eng.read_turn_results(spark, out_tws).drop("batch_id", "part_id")
+    tb = eng.read_turn_results(spark, out_uni).drop("batch_id", "part_id")
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
