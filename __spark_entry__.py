@@ -268,6 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = lambda s, d: _dedup.minhash_lsh_candidates(
         _t(s, d, "documents").filter(F.col("doc_id") < 300)
     )
+    q["chunk_shared_pairs"] = lambda s, d: _dedup.chunk_shared_pairs(
+        _t(s, d, "documents").filter(F.col("doc_id") < 100).unionAll(
+            _t(s, d, "documents").filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 100))
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+    )
     q["simhash_near_dups"] = lambda s, d: _dedup.simhash_near_dups(
         _t(s, d, "documents").unionAll(
             _t(s, d, "documents").filter(F.col("doc_id") % 25 == 0).withColumn(
@@ -879,5 +885,41 @@ SELECT doc_id,
          )
   ))) AS chunk_hash
 FROM docs WHERE len(toks) >= 8
+"""
+
+    # chunk-level dedup: doc pairs sharing >=2 rolling-fingerprint spans
+    # (corpus = docs<100 plus re-keyed copies of every 7th -> known dups)
+    o["chunk_shared_pairs"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id < 100
+),
+docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus
+),
+spans AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      generate_series(1, len(toks) - 7),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks[i:i+7],
+                 t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT))),
+             (acc, h) -> (acc * 257 + h) % 2147483647
+           )
+    ))) AS chunk_hash
+  FROM docs WHERE len(toks) >= 8
+),
+capped AS (
+  SELECT chunk_hash FROM spans GROUP BY chunk_hash HAVING count(*) <= 50
+),
+rare AS (SELECT s.doc_id, s.chunk_hash FROM spans s JOIN capped USING (chunk_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM rare a JOIN rare b USING (chunk_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= 2
 """
     return o

@@ -134,6 +134,34 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3, k: int = 8) -> Data
     )
 
 
+def chunk_shared_pairs(
+    documents: DataFrame, window: int = 8, max_df: int = 50, min_shared: int = 2
+) -> DataFrame:
+    """Content-defined chunk dedup: doc pairs sharing ≥ ``min_shared``
+    rolling-fingerprint spans (functions/text.py rolling_fingerprints) —
+    catches partial overlap / quotation / boilerplate reuse that
+    whole-document hashing misses. Same inverted-index blocking discipline
+    as ngram_jaccard: ``max_df`` caps chunk document-frequency, because a
+    chunk in f docs yields f·(f-1)/2 candidate pairs — the cap is what
+    keeps this sub-quadratic at corpus scale (and ubiquitous chunks are
+    boilerplate, not signal)."""
+    from distributed_classification_system_spark.functions.text import rolling_fingerprints
+
+    fp = rolling_fingerprints(documents, window).cache()
+    rare = fp.join(
+        fp.groupBy("chunk_hash").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
+        "chunk_hash",
+    ).select("doc_id", "chunk_hash")
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "chunk_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 _SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
