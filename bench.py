@@ -252,6 +252,11 @@ HEADLINE = [
     "lang_id",
     "quality_scores",
     "topk_per_group",
+    # round-2 additions
+    "sliding_window",
+    "conv_fold_docs",
+    "simhash_near_dups",
+    "chunk_shared_pairs",
 ]
 
 

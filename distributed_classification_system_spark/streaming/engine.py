@@ -414,8 +414,17 @@ def read_turn_results(spark: SparkSession, out_dir: str) -> DataFrame:
 def read_failed_turns(spark: SparkSession, out_dir: str) -> DataFrame:
     """The T6 dead-letter table: rows that failed validation, with the
     reason (reference: error status messages -> failed counters,
-    ml-service/sqs_worker.py:96-119, handlers.go:306-336)."""
-    return _read_results(spark, out_dir, "error").select(
+    ml-service/sqs_worker.py:96-119, handlers.go:306-336). A clean stream
+    writes no row_type=error partitions at all — that reads as an empty
+    table, not an error."""
+    from pyspark.sql.utils import AnalysisException
+
+    cols = "conv_id string, turn_idx int, role string, ts timestamp, error_reason string, batch_id long, part_id int"
+    try:
+        df = _read_results(spark, out_dir, "error")
+    except AnalysisException:
+        return spark.createDataFrame([], cols)
+    return df.select(
         "conv_id", "turn_idx", "role", "ts", "error_reason", "batch_id", "part_id"
     )
 

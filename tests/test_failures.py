@@ -119,3 +119,18 @@ def test_label_partitioned_sink_layout_and_pruning(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "top_prediction" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_read_failed_turns_empty_on_clean_stream(spark, tmp_path):
+    """A stream with zero invalid rows has no error partitions on disk;
+    the dead-letter read must return an empty table, not raise."""
+    t = gen_transcripts(spark, 10)
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    eng.write_stream_fixture(t, inp, n_files=2)
+    eng.run_stream(
+        spark, inp, out, gen_conv_config(spark, 10), gen_label_registry(spark),
+        await_termination=True,
+    )
+    failed = eng.read_failed_turns(spark, out)
+    assert failed.count() == 0
+    assert "error_reason" in failed.columns
