@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = lambda s, d: _dedup.minhash_lsh_candidates(
         _t(s, d, "documents").filter(F.col("doc_id") < 300)
     )
+    q["near_dup_clusters"] = lambda s, d: _dedup.near_dup_clusters(
+        _t(s, d, "documents").filter(F.col("doc_id") < 300)
+    )
     q["chunk_shared_pairs"] = lambda s, d: _dedup.chunk_shared_pairs(
         _t(s, d, "documents").filter(F.col("doc_id") < 100).unionAll(
             _t(s, d, "documents").filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 100))
@@ -921,5 +924,37 @@ FROM rare a JOIN rare b USING (chunk_hash)
 WHERE a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 HAVING count(*) >= 2
+"""
+
+    # connected components over the jaccard graph via recursive CTE:
+    # cluster id = min doc_id transitively reachable through dup edges
+    o["near_dup_clusters"] = _SHINGLE_CTE.replace(
+        "WITH docs AS", "WITH RECURSIVE docs AS"
+    ) + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.2
+),
+edges AS (
+  SELECT doc_a, doc_b FROM jpairs
+  UNION ALL SELECT doc_b, doc_a FROM jpairs
+),
+docs_all AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM docs_all
+  UNION
+  SELECT reach.doc_id, e.doc_b AS r FROM reach JOIN edges e ON reach.r = e.doc_a
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """
     return o

@@ -271,6 +271,20 @@ def main() -> None:
     scaling = None if SKIP_SCALING else scaling_block(sf)
     spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
     qmap = entrymod.queries()
+    # untimed warmup: python-worker spawn + codegen JIT otherwise lands
+    # entirely on whichever headline query happens to run first
+    from pyspark.sql import functions as F
+
+    from distributed_classification_system_spark.functions.kernel import classify_udf
+
+    spark.range(2000).select(
+        classify_udf(
+            F.concat(F.lit("dog cat x"), F.col("id").cast("string")),
+            F.array(F.lit("dog"), F.lit("cat")),
+            F.lit(3),
+            F.lit(0.2),
+        )
+    ).count()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

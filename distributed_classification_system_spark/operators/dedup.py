@@ -134,6 +134,57 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3, k: int = 8) -> Data
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame, threshold: float = 0.2, max_iter: int = 12
+) -> DataFrame:
+    """Connected components over the near-dup graph: every doc gets the
+    MIN doc_id reachable through ngram-Jaccard edges as its cluster id —
+    the canonical-survivor assignment a dedup pipeline keys its
+    keep-one-per-cluster filter on.
+
+    Pregel-style min-label propagation (GraphX/GraphFrames are not on the
+    classpath): each round is one distributed join + min-aggregate;
+    the driver loop only reads a convergence COUNT, never data rows, and
+    rounds are bounded by the component diameter (≤ log n with path
+    shortening via the self-label join). ``localCheckpoint`` truncates
+    the growing lineage each round — at 100 TB this runs exactly the
+    same shape with checkpointing to cluster storage."""
+    pairs = ngram_jaccard_pairs(documents, threshold=threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = documents.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("nb_label")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nb_min", "cluster_id")).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def chunk_shared_pairs(
     documents: DataFrame, window: int = 8, max_df: int = 50, min_shared: int = 2
 ) -> DataFrame:
