@@ -265,10 +265,23 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_near_dups(documents: DataFrame, band_bits: int = 16, max_hamming: int = 8) -> DataFrame:
+def simhash_near_dups(
+    documents: DataFrame,
+    band_bits: int = 16,
+    max_hamming: int = 8,
+    max_bucket: int = 256,
+) -> DataFrame:
     """SimHash near-dup candidates: block on each of 64/band_bits bands
-    (near-dups agree on ≥1 band by pigeonhole), verify Hamming ≤ max."""
-    sh = documents.select("doc_id", simhash64("text").alias("simhash"))
+    (near-dups agree on ≥1 band by pigeonhole), verify Hamming ≤ max.
+    The fingerprint relation is cached — it feeds BOTH sides of the
+    band self-join, and without the cache the UDF scan runs twice.
+
+    ``max_bucket`` caps band-bucket size (same discipline as the ngram
+    ``max_df`` cap): a bucket of f docs yields f·(f-1)/2 candidates, and
+    oversized buckets are near-identical boilerplate clusters — at corpus
+    scale the cap is what bounds the self-join output; the survivors of
+    such a cluster are found through exact dedup instead."""
+    sh = documents.select("doc_id", simhash64("text").alias("simhash")).cache()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(
@@ -286,6 +299,10 @@ def simhash_near_dups(documents: DataFrame, band_bits: int = 16, max_hamming: in
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    banded = banded.join(
+        banded.groupBy("band", "key").agg(F.count("*").alias("df")).filter(F.col("df") <= max_bucket),
+        ["band", "key"],
+    ).select("doc_id", "simhash", "band", "key")
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
