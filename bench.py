@@ -169,6 +169,19 @@ def _run_probe(cpus: int, sf: float, data_dir: str | None = None) -> dict:
     return json.loads(line[-1].removeprefix("PROBE_RESULT "))
 
 
+def _pass_eff(p: dict, lo: int, hi: int) -> float:
+    return p[hi]["turns_per_sec"] / (4 * p[lo]["turns_per_sec"])
+
+
+def median_pass(passes: list[dict], lo: int, hi: int) -> dict:
+    """The pass with the median efficiency — resists one contaminated
+    pass in EITHER direction (callers guarantee an odd count whenever
+    more than one pass ran)."""
+    effs = [_pass_eff(p, lo, hi) for p in passes]
+    order = sorted(range(len(effs)), key=lambda i: effs[i])
+    return passes[order[len(order) // 2]]
+
+
 def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
     """North-rule two-cluster-size evidence: the IDENTICAL pipeline on the
     IDENTICAL pre-generated input at N and 4N cores in fresh JVMs.
@@ -215,11 +228,10 @@ def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
             # an even count would let one contaminated side pick the
             # reported value (observed both directions: a slow-2c pass
             # inflates, a fast-2c pass deflates)
-            if n_pass == 0 and pair[hi]["turns_per_sec"] / (4 * pair[lo]["turns_per_sec"]) >= 0.8:
+            if n_pass == 0 and _pass_eff(pair, lo, hi) >= 0.8:
                 break
-        effs = [p[hi]["turns_per_sec"] / (4 * p[lo]["turns_per_sec"]) for p in passes]
-        order = sorted(range(len(effs)), key=lambda i: effs[i])
-        rates = passes[order[len(order) // 2]]
+        effs = [_pass_eff(p, lo, hi) for p in passes]
+        rates = median_pass(passes, lo, hi)
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
     eff = rates[hi]["turns_per_sec"] / (4 * rates[lo]["turns_per_sec"])
