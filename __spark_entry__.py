@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity search ---------------------------------------------------
     q["ann_bruteforce"] = lambda s, d: _ann.brute_force_topk(_t(s, d, "embeddings"))
     q["ann_ivf"] = lambda s, d: _ann.ivf_topk(_t(s, d, "embeddings"))
+    q["ann_ivf_multiprobe"] = lambda s, d: _ann.ivf_topk_multiprobe(_t(s, d, "embeddings"))
     q["embedding_near_dups"] = lambda s, d: _ann.embedding_near_dups(_t(s, d, "embeddings"))
 
     # --- text analysis --------------------------------------------------------
@@ -956,5 +957,31 @@ reach AS (
   SELECT reach.doc_id, e.doc_b AS r FROM reach JOIN edges e ON reach.r = e.doc_a
 )
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+    # multi-probe IVF: each query searches its 2 closest cells
+    o["ann_ivf_multiprobe"] = """
+WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, cell,
+         list_cosine_similarity(e.embedding, c_emb) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.embedding, c_emb) DESC, cell) AS rn
+  FROM embeddings e CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM assign_scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assign_scored
+      WHERE vec_id < 5 AND rn <= 2),
+scored AS (
+  SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q_emb, c.embedding) AS cos
+  FROM assigned c JOIN q USING (cell) WHERE c.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
 """
     return o

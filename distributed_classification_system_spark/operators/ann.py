@@ -58,11 +58,11 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
-    """IVF coarse quantizer with deterministic centroids: the first
-    ``n_cells`` corpus vectors act as cell centroids (a k-means seeding
-    stand-in — deterministic, oracle-portable). One broadcast join +
-    argmax; adds a `cell` column."""
+def _cell_ranks(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Every vector's cells ranked by centroid similarity (rn=1 is its
+    home cell; rn≤nprobe are its probe cells). Centroids = first
+    ``n_cells`` corpus vectors (deterministic k-means-seeding stand-in,
+    oracle-portable). One broadcast join + window."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     embeddings = embeddings.repartition(par)
     cents = (
@@ -76,11 +76,14 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
         cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell"))
-    return (
-        scored.select("vec_id", "embedding", "cell", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return scored.select(
+        "vec_id", "embedding", "cell", F.row_number().over(w).alias("rn")
     )
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """IVF coarse quantizer: argmax cell per vector (adds a `cell` column)."""
+    return _cell_ranks(embeddings, n_cells).filter(F.col("rn") == 1).drop("rn")
 
 
 def embedding_near_dups(
@@ -104,6 +107,40 @@ def embedding_near_dups(
         )
     )
     return pairs.filter(F.col("cos") >= threshold).select("vec_a", "vec_b")
+
+
+def ivf_topk_multiprobe(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k with multi-probe IVF: each query searches its ``nprobe``
+    closest cells — the standard recall/cost dial (nprobe=1 misses
+    neighbors that straddle a cell boundary; nprobe=cells is brute
+    force). Cost is O(Q·N/cells·nprobe); the corpus side still never
+    shuffles (probe cells broadcast with the query)."""
+    ranks = _cell_ranks(embeddings, n_cells)
+    assigned = ranks.filter(F.col("rn") == 1).select("vec_id", "embedding", "cell")
+    q = ranks.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell"),
+    )
+    pairs = assigned.alias("c").join(F.broadcast(q), "cell").filter(
+        F.col("c.vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("c.vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("c.embedding")).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])  # neighbor reachable via 2 probes
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
 
 
 def ivf_topk(
