@@ -243,6 +243,78 @@ def _summary_sink(out_dir: str):
     return write
 
 
+
+
+# Files under results/batch_id=N/row_type=turn carry the fold-output
+# columns (row_type/batch_id live in the directory names) + sink lineage.
+TURN_FILES = T.StructType(
+    [f for f in FOLD_OUTPUT.fields if f.name != "row_type"]
+    + [T.StructField("part_id", T.IntegerType())]
+)
+
+
+def run_class_rollup_stream(
+    spark: SparkSession,
+    out_dir: str,
+    rollup_dir: str,
+    window: str = "60 seconds",
+    slide: str | None = None,
+    watermark: str = "0 seconds",
+    checkpoint_dir: str | None = None,
+):
+    """Second-stage STREAMING rollup (SURVEY T4 as a real streaming query):
+    tumbling/sliding event-time windows over the engine's turn sink →
+    per-(window, label) throughput / class-distribution counts, append
+    mode, so each row emits exactly once — when the watermark closes its
+    window. The analogue of the reference's CloudWatch-side per-minute
+    series (metrics_collector.py:53,62-72), computed exactly and
+    exactly-once instead of scraped.
+
+    Chains off the exactly-once sink files (a streaming source like any
+    other), so it composes with the main query without a second scan of
+    the raw transcripts. Windows still open when the stream drains stay
+    withheld — standard append-mode semantics; the caller sees only
+    finalized windows."""
+    src = spark.readStream.schema(TURN_FILES).parquet(
+        os.path.join(out_dir, "results", "batch_id=*", "row_type=turn")
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "top_prediction")
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal-cents mean: order-independent across triggers
+            (
+                F.sum(F.round(F.col("processing_time_ms") * 100).cast("long")).cast("double")
+                / 100.0
+                / F.count("*")
+            ).alias("avg_ms"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "top_prediction",
+            "n",
+            "avg_ms",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir or os.path.join(rollup_dir, "_ckpt"))
+        .format("parquet")
+        .option("path", os.path.join(rollup_dir, "data"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_class_rollups(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(rollup_dir, "data"))
+
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,

@@ -262,3 +262,39 @@ def test_tws_fold_equals_unified(spark, tdir):
     ta = eng.read_turn_results(spark, out_tws).drop("batch_id", "part_id")
     tb = eng.read_turn_results(spark, out_uni).drop("batch_id", "part_id")
     assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
+
+
+def _rollup_expected(spark, out, window, slide=None):
+    """Batch twin of the streaming rollup, restricted to windows the final
+    watermark (delay 0 → max event time) has closed."""
+    turns = eng.read_turn_results(spark, out)
+    max_ts = turns.agg(F.max("ts")).collect()[0][0]
+    return (
+        turns.groupBy(F.window("ts", window, slide).alias("w"), "top_prediction")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("processing_time_ms") * 100).cast("long")).cast("double")
+                / 100.0 / F.count("*")
+            ).alias("avg_ms"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"),
+            "top_prediction", "n", "avg_ms",
+        )
+        .filter(F.col("win_end") <= F.lit(max_ts))
+    )
+
+
+@pytest.mark.parametrize("window,slide", [("60 seconds", None), ("60 seconds", "30 seconds")])
+def test_streaming_class_rollup_matches_batch(spark, tdir, window, slide):
+    """T4 as a real streaming query: tumbling AND sliding event-time
+    windows over the turn sink emit exactly the closed-window rows the
+    batch aggregation produces — append mode, one emission per window."""
+    out = _run(spark, tdir, sub=f"roll_{slide or 'tumble'}")
+    rollup_dir = os.path.join(tdir, f"rollup_{slide or 'tumble'}")
+    eng.run_class_rollup_stream(spark, out, rollup_dir, window=window, slide=slide)
+    got = eng.read_class_rollups(spark, rollup_dir)
+    want = _rollup_expected(spark, out, window, slide)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
