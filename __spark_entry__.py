@@ -635,7 +635,9 @@ GROUP BY r_name
 """
     o["anti_join"] = """
 SELECT c_nationkey, count(*) AS n_inactive
-FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
     o["semi_join"] = """

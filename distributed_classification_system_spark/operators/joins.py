@@ -27,10 +27,14 @@ def dim_join_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -
     )
 
 
-def anti_join(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """J5 left-anti: customers with no orders (s3_helper.py:87-92 shape)."""
+def anti_join(customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT") -> DataFrame:
+    """J5 left-anti: customers with no order of the given priority
+    (s3_helper.py:87-92 shape). The priority filter keeps the inactive
+    set non-empty at every driver SF — an all-covered corpus made the
+    unfiltered variant a vacuous 0-row check."""
+    urgent = orders.filter(F.col("o_orderpriority") == priority)
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_inactive"))
     )
