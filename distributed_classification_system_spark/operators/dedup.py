@@ -223,26 +223,29 @@ _SIMHASH_SCHEMA = T.StructType(
 
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash fingerprint: per-token blake2b hash, bitwise majority
-    vote. Fully batch-vectorized: tokens are exploded once per Arrow batch,
-    blake2b runs only over the batch's UNIQUE tokens (natural-language
-    vocabulary is tiny relative to token count), and the per-(row, bit)
-    vote matrix is one numpy scatter-add — no per-token Python in the
-    fingerprint path."""
+    """64-bit SimHash fingerprint: per-token md5-prefix hash, bitwise
+    majority vote over token OCCURRENCES. Fully batch-vectorized: tokens
+    are exploded once per Arrow batch, md5 runs only over the batch's
+    UNIQUE tokens (natural-language vocabulary is tiny relative to token
+    count), and the per-(row, bit) vote matrix is one numpy scatter-add —
+    no per-token Python in the fingerprint path.
+
+    Token hash = first 8 bytes of md5, the engine-portable choice (DuckDB:
+    ('0x'||substr(md5(t),1,16))::UBIGINT is bit-identical), which makes the
+    whole simhash family oracle-checkable end to end."""
     import hashlib
 
     n = len(text)
     shifts = np.arange(64, dtype=np.uint64)
-    exploded = text.fillna("").str.lower().str.split().explode().dropna()
+    # single-space split (NOT whitespace runs): the engine's standard
+    # tokenizer, bit-matching DuckDB string_split(lower(text), ' ')
+    exploded = text.fillna("").str.lower().str.split(" ").explode().dropna()
     if exploded.empty:
         return pd.Series(np.zeros(n, dtype=np.int64))
     row_of = exploded.index.to_numpy(dtype=np.int64)  # nondecreasing
     codes, uniques = pd.factorize(exploded.to_numpy(dtype=object))
     uh = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "big")
-            for u in uniques
-        ),
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") for u in uniques),
         dtype=np.uint64,
         count=len(uniques),
     )

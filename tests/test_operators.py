@@ -114,8 +114,9 @@ def test_rolling_fingerprint_shift_invariance(spark):
 
 def test_simhash_matches_scalar_reference(spark):
     """The vectorized fingerprint must equal an independent per-token
-    scalar implementation (the operator's local oracle — blake2b is not
-    available in DuckDB, so this is the hash-exactness check)."""
+    scalar implementation (hash-exactness; the DuckDB twin in
+    __spark_entry__.oracle_sql()['simhash_near_dups'] checks the same
+    md5-64 hash end to end through the banded join)."""
     import hashlib
 
     import numpy as np
@@ -124,12 +125,12 @@ def test_simhash_matches_scalar_reference(spark):
     from distributed_classification_system_spark.operators.dedup import simhash64
 
     def scalar_simhash(txt: str | None) -> int:
-        tokens = (txt or "").lower().split()
+        tokens = (txt or "").lower().split(" ")
         if not tokens:
             return 0
         votes = np.zeros(64, dtype=np.int64)
         for t in tokens:
-            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
             for b in range(64):
                 votes[b] += 1 if (h >> b) & 1 else -1
         sh = sum(1 << b for b in range(64) if votes[b] > 0)
