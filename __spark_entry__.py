@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_by_label", F.to_json("grouped_by_label")
     )
     q["stream_pipeline"] = lambda s, d: _stream_pipeline(s)
+    q["cascade_pipeline"] = lambda s, d: _stream_pipeline(s, mode="cascade")
 
     # --- text fingerprinting -------------------------------------------------
     q["fingerprint"] = lambda s, d: _text.fingerprint(_t(s, d, "documents"))
@@ -363,11 +364,14 @@ def _label_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sinks.label_partition_roundtrip(_t(spark, sf_dir, "documents"), out)
 
 
-def _stream_pipeline(spark: SparkSession) -> DataFrame:
+def _stream_pipeline(spark: SparkSession, mode: str = "unified") -> DataFrame:
     """The Structured Streaming engine end-to-end at smoke scale:
     file stream → watermark → stream-static joins → vectorized kernel →
     keyed session fold (applyInPandasWithState) → exactly-once sink.
-    Returns the conversation summaries read back from the sink."""
+    ``mode='cascade'`` runs the two-query variant instead (native
+    dropDuplicatesWithinWatermark dedup → stateless turn sink → slim
+    summary fold). Returns the conversation summaries read back from the
+    sink — both modes must reproduce the batch fold exactly (asserted)."""
     import shutil
     import tempfile
 
@@ -391,6 +395,7 @@ def _stream_pipeline(spark: SparkSession) -> DataFrame:
     eng.run_stream(
         spark, inp, out, config, registry,
         max_files_per_trigger=1, fold_buckets=32, await_termination=True,
+        mode=mode,
     )
     streamed = (
         eng.read_conv_summaries(spark, out)

@@ -473,7 +473,13 @@ def _read_results(spark: SparkSession, out_dir: str, row_type: str) -> DataFrame
 
 def read_turn_results(spark: SparkSession, out_dir: str) -> DataFrame:
     if os.path.isdir(os.path.join(out_dir, "turn_results")):  # cascade layout
-        df = spark.read.parquet(os.path.join(out_dir, "turn_results", "b=*"))
+        # cascade's Q1 sink is stateless, so error-tagged rows land in the
+        # same files; the turn read path filters them out — the 'never
+        # poison the turn sink' invariant holds in BOTH modes (the unified
+        # layout separates them physically via the row_type partition)
+        df = spark.read.parquet(os.path.join(out_dir, "turn_results", "b=*")).filter(
+            F.col("error_reason").isNull()
+        )
     else:  # unified layout
         df = _read_results(spark, out_dir, "turn")
     return df.select(
@@ -488,14 +494,21 @@ def read_failed_turns(spark: SparkSession, out_dir: str) -> DataFrame:
     reason (reference: error status messages -> failed counters,
     ml-service/sqs_worker.py:96-119, handlers.go:306-336). A clean stream
     writes no row_type=error partitions at all — that reads as an empty
-    table, not an error."""
+    table, not an error. Cascade layout: error rows live in the turn sink
+    files (tagged, filtered out of read_turn_results), so the dead-letter
+    view is the complementary filter."""
     from pyspark.sql.utils import AnalysisException
 
     cols = "conv_id string, turn_idx int, role string, ts timestamp, error_reason string, batch_id long, part_id int"
-    try:
-        df = _read_results(spark, out_dir, "error")
-    except AnalysisException:
-        return spark.createDataFrame([], cols)
+    if os.path.isdir(os.path.join(out_dir, "turn_results")):  # cascade layout
+        df = spark.read.parquet(os.path.join(out_dir, "turn_results", "b=*")).filter(
+            F.col("error_reason").isNotNull()
+        )
+    else:  # unified layout
+        try:
+            df = _read_results(spark, out_dir, "error")
+        except AnalysisException:
+            return spark.createDataFrame([], cols)
     return df.select(
         "conv_id", "turn_idx", "role", "ts", "error_reason", "batch_id", "part_id"
     )

@@ -134,3 +134,38 @@ def test_read_failed_turns_empty_on_clean_stream(spark, tmp_path):
     failed = eng.read_failed_turns(spark, out)
     assert failed.count() == 0
     assert "error_reason" in failed.columns
+
+
+def test_cascade_failure_side_output(spark, tmp_path):
+    """Cascade-mode T6: error rows are tagged in the Q1 turn sink but
+    never surface through the turn read path; the dead-letter view is the
+    complementary filter; the Q2 summary fold counts them as failed and
+    sessions still complete — same invariants as unified mode."""
+    t = _corrupted(spark)
+    n_bad = t.filter(F.col("text").isNull()).count()
+    assert n_bad > 0
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    eng.write_stream_fixture(t, inp, n_files=4)
+    eng.run_stream(
+        spark, inp, out, gen_conv_config(spark, N), gen_label_registry(spark),
+        max_files_per_trigger=1, await_termination=True, mode="cascade",
+    )
+
+    failed = eng.read_failed_turns(spark, out)
+    assert failed.count() == n_bad
+    assert failed.filter(F.col("error_reason") != "empty_text").count() == 0
+
+    turns = eng.read_turn_results(spark, out)
+    assert turns.count() == t.count() - n_bad
+    assert turns.filter(F.col("text").isNull()).count() == 0
+
+    summ = eng.read_conv_summaries(spark, out)
+    agg = summ.agg(
+        F.sum("failed").alias("failed"),
+        F.sum("total").alias("total"),
+        F.sum(F.col("classified") + F.col("unknown") + F.col("failed")).alias("acct"),
+    ).collect()[0]
+    assert agg.failed == n_bad
+    assert agg.acct == agg.total == t.count()
+    assert summ.filter(F.col("status") != "completed").count() == 0
