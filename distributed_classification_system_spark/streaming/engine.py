@@ -499,10 +499,17 @@ def read_failed_turns(spark: SparkSession, out_dir: str) -> DataFrame:
     view is the complementary filter."""
     from pyspark.sql.utils import AnalysisException
 
-    cols = "conv_id string, turn_idx int, role string, ts timestamp, error_reason string, batch_id long, part_id int"
+    cols = (
+        "conv_id string, turn_idx int, role string, ts timestamp, error_reason string,"
+        " retry_count int, batch_id long, part_id int"
+    )
     if os.path.isdir(os.path.join(out_dir, "turn_results")):  # cascade layout
-        df = spark.read.parquet(os.path.join(out_dir, "turn_results", "b=*")).filter(
-            F.col("error_reason").isNotNull()
+        # cascade's native dropDuplicatesWithinWatermark removes
+        # redeliveries before the sink, so every error row is first-attempt
+        df = (
+            spark.read.parquet(os.path.join(out_dir, "turn_results", "b=*"))
+            .filter(F.col("error_reason").isNotNull())
+            .withColumn("retry_count", F.lit(0))
         )
     else:  # unified layout
         try:
@@ -510,7 +517,8 @@ def read_failed_turns(spark: SparkSession, out_dir: str) -> DataFrame:
         except AnalysisException:
             return spark.createDataFrame([], cols)
     return df.select(
-        "conv_id", "turn_idx", "role", "ts", "error_reason", "batch_id", "part_id"
+        "conv_id", "turn_idx", "role", "ts", "error_reason", "retry_count",
+        "batch_id", "part_id",
     )
 
 

@@ -63,12 +63,16 @@ FOLD_INPUT = T.StructType(
     ]
 )
 
-# Union output: the input columns + row_type + packed summary.
+# Union output: the input columns + row_type + packed summary + the T6
+# attempt counter (error rows only: 0 on first failure, bumped on every
+# cross-batch redelivery of a failed turn — ref models.go:20 RetryCount,
+# sqs_worker.py:96-119; null on turn/summary rows).
 FOLD_OUTPUT = T.StructType(
     FOLD_INPUT.fields
     + [
         T.StructField("row_type", T.StringType()),
         T.StructField("summary_json", T.StringType()),
+        T.StructField("retry_count", T.IntegerType()),
     ]
 )
 
@@ -78,7 +82,9 @@ SUMMARY_JSON_SCHEMA = (
     " processing_time_ms:double, completed_at:timestamp>"
 )
 
-# Keyed state: counters + seen-set + label grouping (JSON).
+# Keyed state: counters + seen-set + label grouping (JSON) + per-failed-
+# turn attempt counters (JSON dict turn_idx -> retries; failed turns only,
+# so the field stays tiny on healthy streams).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_expected", T.IntegerType()),
@@ -91,6 +97,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("seen", T.ArrayType(T.IntegerType())),
         T.StructField("labels_json", T.StringType()),
         T.StructField("done", T.BooleanType()),
+        T.StructField("retries_json", T.StringType()),
     ]
 )
 
@@ -169,10 +176,12 @@ def session_fold(
             "seen": [],
             "labels_json": "{}",
             "done": False,
+            "retries_json": "{}",
         }
 
     seen = set(st["seen"])
     labels: dict[str, list[list]] = json.loads(st["labels_json"])
+    retries: dict[str, int] = json.loads(st["retries_json"])
     out_parts = []
 
     for pdf in pdfs:
@@ -180,13 +189,29 @@ def session_fold(
         # via drop_duplicates, cross-batch via the state seen-set
         pdf = pdf.drop_duplicates("turn_idx")
         if seen:
-            pdf = pdf[~pdf["turn_idx"].isin(seen)]
+            dup = pdf["turn_idx"].isin(seen)
+            # cross-batch redelivery of a FAILED turn: bump its attempt
+            # counter and log the attempt as another error row (counters
+            # and completion are untouched — the turn already counted)
+            re_err = pdf[dup.to_numpy() & pdf["error_reason"].notna().to_numpy()]
+            if not re_err.empty and not st["done"]:
+                bumps = []
+                for i in re_err["turn_idx"]:
+                    k = str(int(i))
+                    retries[k] = retries.get(k, 0) + 1
+                    bumps.append(retries[k])
+                out_parts.append(
+                    re_err.assign(row_type="error", summary_json=None, retry_count=bumps)
+                )
+            pdf = pdf[~dup]
         if st["done"] or pdf.empty:
             continue
         idxs = pdf["turn_idx"].to_numpy()
         preds = pdf["top_prediction"].to_numpy()
         err = pdf["error_reason"].notna().to_numpy()
         seen.update(int(i) for i in idxs)
+        for i in idxs[err]:
+            retries.setdefault(str(int(i)), 0)
         # Unconfigured conversations arrive with null n_turns via the left
         # config join (engine.py); they stay open until the session timeout.
         # Mirror the bucket-fold guard (NaN != NaN).
@@ -204,9 +229,14 @@ def session_fold(
         st["max_ts_us"] = max(st["max_ts_us"], int(pdf["ts"].max().value // 1000))
         for i, p in zip(idxs[~err], preds[~err]):
             labels.setdefault(p, []).append(int(i))
-        # single vectorized pass-through: input columns + two constants
+        # single vectorized pass-through: input columns + constants (the
+        # retry counter is 0 on a first-attempt error, null on turns)
         out_parts.append(
-            pdf.assign(row_type=np.where(err, "error", "turn"), summary_json=None)
+            pdf.assign(
+                row_type=np.where(err, "error", "turn"),
+                summary_json=None,
+                retry_count=np.where(err, 0, None),
+            )
         )
 
     if out_parts:
@@ -214,6 +244,7 @@ def session_fold(
 
     st["seen"] = sorted(seen)
     st["labels_json"] = json.dumps(labels, sort_keys=True)
+    st["retries_json"] = json.dumps(retries, sort_keys=True)
 
     complete = st["n_expected"] > 0 and len(seen) >= st["n_expected"]
     if complete and not st["done"]:
@@ -221,10 +252,11 @@ def session_fold(
         yield _summary_frame([_summary_row(conv_id, "completed", st)])
         # tombstone retained until the watermark expires it, but SLIM:
         # post-completion redelivery dedups on the done flag alone, so the
-        # seen-set and label grouping are dead weight in every later
-        # state-store round-trip
+        # seen-set, label grouping and retry counters are dead weight in
+        # every later state-store round-trip
         st["seen"] = []
         st["labels_json"] = "{}"
+        st["retries_json"] = "{}"
 
     state.update(_state_tuple(st))
     # session-window close semantics: time out once the event-time
@@ -295,6 +327,7 @@ def _new_conv_state() -> dict[str, Any]:
         "seen": [],
         "labels": {},
         "done": False,
+        "retries": {},  # turn_idx (str) -> redelivery count, failed turns only
     }
 
 
@@ -328,24 +361,53 @@ def _fold_one_pdf(
     # transformWithState strips the grouping column before the processor;
     # applyInPandasWithState keeps it — tolerate both
     pdf = pdf.drop(columns=["bucket"], errors="ignore").drop_duplicates(["conv_id", "turn_idx"])
+    retry_out = None
     if seen_keys:
         keys = pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str)
-        pdf = pdf[~keys.isin(seen_keys)]
+        dup = keys.isin(seen_keys).to_numpy()
+        if dup.any():
+            # cross-batch redelivery of a FAILED turn: bump its attempt
+            # counter (ref models.go:20 RetryCount) and log the attempt as
+            # another error row; counters/completion already counted it.
+            # Redeliveries to tombstoned (done) conversations drop silently,
+            # exactly like redelivered valid turns.
+            re_err = pdf[dup & pdf["error_reason"].notna().to_numpy()]
+            if not re_err.empty and emit_turns:
+                bumps: list[int | None] = []
+                for cid, i in zip(re_err["conv_id"], re_err["turn_idx"]):
+                    st = states.get(cid)
+                    if st is None or st["done"]:
+                        bumps.append(None)
+                    else:
+                        r = st.setdefault("retries", {})
+                        k = str(int(i))
+                        r[k] = r.get(k, 0) + 1
+                        bumps.append(r[k])
+                re_err = re_err.assign(row_type="error", summary_json=None, retry_count=bumps)
+                re_err = re_err[re_err["retry_count"].notna()]
+                if not re_err.empty:
+                    retry_out = re_err
+            pdf = pdf[~dup]
     if done_convs:
         pdf = pdf[~pdf["conv_id"].isin(done_convs)]
     if pdf.empty:
-        return None
+        return retry_out
 
     # per-turn pass-through: ONE vectorized assign for the whole bucket;
-    # T6 rows surface as row_type='error' in the same sink pass
+    # T6 rows surface as row_type='error' in the same sink pass (retry
+    # counter: 0 on a first-attempt error, null on turns)
+    err_mask = pdf["error_reason"].notna().to_numpy()
     out = (
         pdf.assign(
-            row_type=np.where(pdf["error_reason"].notna(), "error", "turn"),
+            row_type=np.where(err_mask, "error", "turn"),
             summary_json=None,
+            retry_count=np.where(err_mask, 0, None),
         )
         if emit_turns
         else None
     )
+    if retry_out is not None:
+        out = retry_out if out is None else pd.concat([out, retry_out])
     seen_keys.update(pdf["conv_id"] + "|" + pdf["turn_idx"].astype(str))
 
     # per-conversation increments via numpy group-boundary reductions —
@@ -390,12 +452,18 @@ def _fold_one_pdf(
         idxs_slice = idx_arr[s:e][ok]
         for p in dict.fromkeys(preds_slice):  # distinct, order-stable
             labels.setdefault(p, []).extend(int(i) for i in idxs_slice[preds_slice == p])
+        bad_idxs = idx_arr[s:e][~ok]
+        if bad_idxs.size:
+            r = st.setdefault("retries", {})
+            for i in bad_idxs:  # first attempt registers at 0 retries
+                r.setdefault(str(int(i)), 0)
         if st["n_expected"] > 0 and len(st["seen"]) >= st["n_expected"]:
             st["done"] = True  # slim tombstone until watermark expiry
             done_convs.add(conv_id)
             summaries.append(_summary_row(conv_id, "completed", st))
             st["seen"] = []
             st["labels"] = {}
+            st["retries"] = {}
     return out
 
 
@@ -503,6 +571,7 @@ def _state_dict(tup) -> dict[str, Any]:
         "seen": list(tup[7]) if tup[7] is not None else [],
         "labels_json": tup[8] or "{}",
         "done": bool(tup[9]),
+        "retries_json": tup[10] or "{}",
     }
 
 
@@ -518,4 +587,5 @@ def _state_tuple(st: dict[str, Any]) -> tuple:
         st["seen"],
         st["labels_json"],
         st["done"],
+        st["retries_json"],
     )

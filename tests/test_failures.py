@@ -169,3 +169,63 @@ def test_cascade_failure_side_output(spark, tmp_path):
     assert agg.failed == n_bad
     assert agg.acct == agg.total == t.count()
     assert summ.filter(F.col("status") != "completed").count() == 0
+
+
+def test_retry_count_on_redelivered_failures(spark, tmp_path):
+    """A cross-batch redelivery of a FAILED turn in a still-open session
+    bumps its attempt counter (ref models.go:20 RetryCount,
+    sqs_worker.py:96-119): the dead-letter table logs one row per attempt
+    with consecutive retry_count, while the session counters/completion
+    count the turn exactly once. (Redelivery to a completed session drops
+    silently, like the reference's completed-job item scan.)"""
+    import glob
+    import shutil
+    import time as _time
+
+    t = _corrupted(spark, 20)
+    n_bad = t.filter(F.col("text").isNull()).count()
+    assert n_bad > 0
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    # file1: even turns (sessions stay OPEN) -> file2: redelivery of file1
+    # -> file3: odd turns (sessions complete)
+    for i, part in enumerate(
+        [t.filter(F.col("turn_idx") % 2 == 0), None, t.filter(F.col("turn_idx") % 2 == 1)]
+    ):
+        dest = os.path.join(inp, f"f{i + 1:04d}.parquet")
+        if part is None:
+            shutil.copy(os.path.join(inp, "f0001.parquet"), dest)
+        else:
+            staging = str(tmp_path / f"stage{i}")
+            part.coalesce(1).write.parquet(staging)
+            shutil.move(glob.glob(os.path.join(staging, "*.parquet"))[0], dest)
+        ts = _time.time() - (3 - i) * 2
+        os.utime(dest, (ts, ts))
+    eng.run_stream(
+        spark, inp, out, gen_conv_config(spark, 20), gen_label_registry(spark),
+        max_files_per_trigger=1, await_termination=True,
+    )
+
+    failed = eng.read_failed_turns(spark, out).collect()
+    by_turn = {}
+    for r in failed:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append(r.retry_count)
+    # one first attempt per failed turn; even-turn failures in sessions
+    # still open at redelivery time are logged again at retry_count 1
+    assert len(by_turn) == n_bad
+    retried = {k: sorted(v) for k, v in by_turn.items() if len(v) > 1}
+    assert retried
+    assert all(k[1] % 2 == 0 for k in retried)
+    assert all(v == [0, 1] for v in retried.values())
+    assert all(v == [0] for k, v in by_turn.items() if k not in retried)
+
+    # redelivery never double-counts: same summary invariants as clean run
+    summ = eng.read_conv_summaries(spark, out)
+    agg = summ.agg(
+        F.sum("failed").alias("failed"), F.sum("total").alias("total")
+    ).collect()[0]
+    assert agg.failed == n_bad and agg.total == t.count()
+    # exactly-once turn pass-through despite the duplicated file
+    turns = eng.read_turn_results(spark, out)
+    assert turns.count() == turns.select("conv_id", "turn_idx").distinct().count()

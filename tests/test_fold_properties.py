@@ -46,14 +46,21 @@ def _run_fold(batches: list[list[dict]]):
     seen: set = set()
     done: set = set()
     summaries: list[dict] = []
-    emitted_keys = []
+    emitted = []  # (conv_id, turn_idx, row_type, retry_count)
     for b in batches:
         if not b:
             continue
         out = _fold_one_pdf(_turns_frame(b), states, seen, done, summaries)
         if out is not None:
-            emitted_keys.extend(zip(out["conv_id"], out["turn_idx"].astype(int)))
-    return states, summaries, emitted_keys
+            emitted.extend(
+                zip(
+                    out["conv_id"],
+                    out["turn_idx"].astype(int),
+                    out["row_type"],
+                    [None if pd.isna(r) else int(r) for r in out["retry_count"]],
+                )
+            )
+    return states, summaries, emitted
 
 
 @st.composite
@@ -85,7 +92,7 @@ def conv_deliveries(draw):
 def test_fold_invariant_under_slicing_duplication_reordering(delivery):
     rows, seed, n_batches, dup_frac = delivery
     # golden: one clean, in-order batch
-    g_states, g_summaries, g_keys = _run_fold([rows])
+    g_states, g_summaries, g_emitted = _run_fold([rows])
 
     # adversarial: shuffled, duplicated, arbitrarily sliced delivery
     rng = random.Random(seed)
@@ -95,15 +102,43 @@ def test_fold_invariant_under_slicing_duplication_reordering(delivery):
     batches = [
         dirty[a:b] for a, b in zip([0] + cuts, cuts + [len(dirty)])
     ]
-    d_states, d_summaries, d_keys = _run_fold(batches)
+    d_states, d_summaries, d_emitted = _run_fold(batches)
 
-    assert d_states == g_states
+    # retry counters are delivery-dependent BY DESIGN (they count
+    # cross-batch redeliveries of failed turns); everything else is
+    # delivery-invariant
+    def _no_retries(states):
+        return {
+            c: {k: v for k, v in st.items() if k != "retries"}
+            for c, st in states.items()
+        }
+
+    assert _no_retries(d_states) == _no_retries(g_states)
+    assert {c: set(st.get("retries", {})) for c, st in d_states.items()} == {
+        c: set(st.get("retries", {})) for c, st in g_states.items()
+    }  # same failed-turn key sets, only the attempt counts may differ
     # summaries: same set, emitted exactly once per completed conversation
     key = lambda s: (s["conv_id"], s["summary_json"])  # noqa: E731
     assert sorted(map(key, d_summaries)) == sorted(map(key, g_summaries))
     assert len({s["conv_id"] for s in d_summaries}) == len(d_summaries)
-    # pass-through: exactly-once per (conv, turn) regardless of duplication
-    assert sorted(d_keys) == sorted(g_keys) == sorted(set(d_keys))
+    # turn pass-through: exactly-once per (conv, turn) regardless of dup
+    d_turns = [(c, i) for c, i, rt, _ in d_emitted if rt == "turn"]
+    g_turns = [(c, i) for c, i, rt, _ in g_emitted if rt == "turn"]
+    assert sorted(d_turns) == sorted(g_turns) == sorted(set(d_turns))
+    # error rows: first attempt exactly once (retry_count=0), redelivery
+    # attempts logged with consecutive counters 1..k per failed turn
+    d_first = [(c, i) for c, i, rt, r in d_emitted if rt == "error" and r == 0]
+    g_first = [(c, i) for c, i, rt, r in g_emitted if rt == "error" and r == 0]
+    assert sorted(d_first) == sorted(g_first) == sorted(set(d_first))
+    from collections import defaultdict
+
+    attempts = defaultdict(list)
+    for c, i, rt, r in d_emitted:
+        if rt == "error" and r is not None and r > 0:
+            attempts[(c, i)].append(r)
+    for (c, i), rs in attempts.items():
+        assert (c, i) in set(d_first)
+        assert sorted(rs) == list(range(1, len(rs) + 1))
 
 
 @given(conv_deliveries())
