@@ -245,6 +245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- classification kernel (K1-K6, P6, P10) over documents -----------
     q["classify_docs_udf"] = lambda s, d: classify_documents(_t(s, d, "documents"))
     q["classify_docs_expr"] = lambda s, d: classify_documents(_t(s, d, "documents"), use_expr=True)
+    # K2 at surveyed vocabulary scale: the same kernel at 1000 labels
+    # (threshold 0 — at V=1000 every top score is < 0.25 by construction,
+    # so thresholding would collapse the output to 'unknown')
+    from distributed_classification_system_spark.operators.classify import DOC_LABELS_1K
+
+    q["classify_docs_1k"] = lambda s, d: classify_documents(
+        _t(s, d, "documents"), labels=DOC_LABELS_1K, threshold=0.0
+    )
     q["classify_summary"] = lambda s, d: (
         classify_documents(_t(s, d, "documents"), use_expr=True)
         .groupBy("lang")
@@ -442,6 +450,45 @@ SELECT doc_id, lang, top_prediction, top_confidence, pred_labels, reason,
 FROM classified
 """
     o["classify_docs_expr"] = o["classify_docs_udf"]
+
+    # 1000-label vocabulary (5 real labels + class0000..class0994, sorted):
+    # counts via a token↔label equi-join instead of 1000 list_filter scans
+    # per doc; score = (c+1)/(1000+sum_c), one IEEE division of integers
+    o["classify_docs_1k"] = """
+WITH labs AS (
+  SELECT unnest(['filter', 'join', 'query', 'spark', 'window']
+                || list_transform(generate_series(0, 994), i -> printf('class%04d', i))) AS label
+),
+docs AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+tokc AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+hits AS (
+  SELECT doc_id, t AS label, count(*) AS c
+  FROM tokc JOIN labs ON labs.label = tokc.t GROUP BY doc_id, t
+),
+sumc AS (
+  SELECT d.doc_id, coalesce(sum(h.c), 0) AS sum_c
+  FROM docs d LEFT JOIN hits h USING (doc_id) GROUP BY d.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, l.label,
+         CAST(coalesce(h.c, 0) + 1 AS DOUBLE) / (1000 + s.sum_c) AS score,
+         len(d.toks) AS n_tok
+  FROM docs d JOIN sumc s USING (doc_id)
+  CROSS JOIN labs l
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = l.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang,
+  max(CASE WHEN rn = 1 THEN label END) AS top_prediction,
+  max(CASE WHEN rn = 1 THEN score END) AS top_confidence,
+  string_agg(CASE WHEN rn <= 3 THEN label END, ',' ORDER BY rn) AS pred_labels,
+  CAST(NULL AS VARCHAR) AS reason,
+  max(n_tok) * CAST(0.05 AS DOUBLE) AS processing_time_ms
+FROM ranked GROUP BY doc_id, lang
+"""
     o["classify_summary"] = _CLASSIFY_CTE + """
 SELECT lang,
        count(*) AS total,

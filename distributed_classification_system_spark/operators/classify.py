@@ -33,6 +33,14 @@ from distributed_classification_system_spark.functions.kernel import classify_ex
 
 DOC_LABELS = ["spark", "query", "join", "filter", "window"]
 
+# K2 at the surveyed vocabulary scale (SURVEY §2.3; ref ImageNet-1000,
+# ml-service/models/mobilenet_model.py:17-49): the 5 real document labels
+# padded to exactly 1000 with deterministic synthetic classes. The kernel
+# cost is O(labels) per row — `classify_docs_1k` grades correctness at
+# this width and the bench line prices it.
+DOC_LABELS_1K = sorted(set(DOC_LABELS) | {f"class{i:04d}" for i in range(995)})
+assert len(DOC_LABELS_1K) == 1000
+
 
 def classify_documents(
     documents: DataFrame,

@@ -32,6 +32,17 @@ IMAGE_LABELS = [
 ]
 ALL_MARKERS = sorted(set(CUSTOM_LABELS) | set(IMAGE_LABELS))
 
+# K2 at the surveyed vocabulary scale (SURVEY §2.3; ref MobileNet's
+# ImageNet-1000 class list, ml-service/models/mobilenet_model.py:17-49):
+# the 20 marker labels that actually occur in generated text, padded to
+# exactly 1000 with deterministic synthetic classes. The kernel is
+# O(labels) per row — this registry row is what the 1000-label bench
+# line and `classify_docs_1k` exercise.
+IMAGE_LABELS_1K = sorted(
+    set(IMAGE_LABELS) | {f"class{i:04d}" for i in range(1000 - len(IMAGE_LABELS))}
+)
+assert len(IMAGE_LABELS_1K) == 1000
+
 FILLER = [
     "the", "a", "of", "to", "and", "in", "is", "it", "you", "that", "was",
     "for", "on", "are", "with", "as", "they", "be", "at", "one", "have",
@@ -179,6 +190,11 @@ def gen_label_registry(spark: SparkSession) -> DataFrame:
     rows = [
         ("image_classification", "det-count-v1-imagenet", IMAGE_LABELS, "a photo of %s"),
         ("custom_classification", "det-count-v1-custom", CUSTOM_LABELS, "a photo of %s"),
+        # surveyed-scale vocabulary (K2): present in the registry like the
+        # reference's MobileNet/ImageNet-1000 model; conversations opt in
+        # via job_type, none of the standard fixtures do (so adding the
+        # row changes no existing output)
+        ("image_classification_1k", "det-count-v1-imagenet1k", IMAGE_LABELS_1K, "a photo of %s"),
     ]
     return spark.createDataFrame(rows, schemas.LABEL_REGISTRY)
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from distributed_classification_system_spark import schemas
+from distributed_classification_system_spark.sources import gen
 from distributed_classification_system_spark.sources.gen import (
     gen_conv_config,
     gen_label_registry,
@@ -79,7 +80,13 @@ def test_skew_fixture(spark):
 def test_registry_schema(spark):
     reg = gen_label_registry(spark)
     assert reg.schema == schemas.LABEL_REGISTRY
-    assert reg.count() == 2
+    assert reg.count() == 3
+    # K2 surveyed scale: the imagenet-1k stand-in carries exactly 1000
+    # sorted labels including all 20 real marker labels
+    row = reg.filter(reg.job_type == "image_classification_1k").collect()[0]
+    assert len(row.labels) == 1000
+    assert row.labels == sorted(row.labels)
+    assert set(gen.IMAGE_LABELS) <= set(row.labels)
 
 
 def test_sizing():

@@ -104,6 +104,40 @@ def test_udf_and_expr_match_scalar_oracle(spark):
         assert not any(math.isnan(p["score"]) for p in got_udf["all_predictions"])
 
 
+def test_kernel_at_1000_label_vocabulary(spark):
+    """K2 at the surveyed scale (ref ImageNet-1000): the vectorized kernel
+    with a 1000-label registry row matches the scalar oracle bit-for-bit,
+    and the real marker labels still win over the synthetic padding."""
+    from distributed_classification_system_spark.sources.gen import IMAGE_LABELS_1K
+
+    t = gen_transcripts(spark, 12)
+    rows = t.filter(F.col("turn_idx") < 4).select("conv_id", "turn_idx", "text").collect()
+    assert len(rows) > 20
+    res = {
+        (r.conv_id, r.turn_idx): r.r
+        for r in t.filter(F.col("turn_idx") < 4).select(
+            "conv_id",
+            "turn_idx",
+            classify_udf(
+                "text",
+                F.array(*[F.lit(l) for l in IMAGE_LABELS_1K]),
+                F.lit(3),
+                F.lit(0.0),
+            ).alias("r"),
+        ).collect()
+    }
+    hits = 0
+    for r in rows:
+        oracle = score_text(r.text, IMAGE_LABELS_1K, 3, 0.0)
+        assert _as_dict(res[(r.conv_id, r.turn_idx)]) == oracle, (r.conv_id, r.turn_idx)
+        # at V=1000 the top score is ~c/(1000+c) — always below 0.25, which
+        # is why the 1k queries run with threshold 0
+        assert oracle["top_confidence"] < 0.25
+        if not oracle["top_prediction"].startswith("class"):
+            hits += 1
+    assert hits > 0  # bias markers beat the synthetic padding somewhere
+
+
 def test_classify_turns_salting_invariance(spark):
     """Salted and unsalted plans must return identical rows (T10)."""
     t = gen_transcripts(spark, 30, n_hot=1, hot_turns=200)
