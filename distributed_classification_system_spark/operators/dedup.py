@@ -30,6 +30,25 @@ def _tokens(col: str = "text") -> Column:
     return F.split(F.lower(F.col(col)), " ")
 
 
+# One live cached relation per operator slot. These relations feed BOTH
+# sides of a self-join, so they must be cached — but the operators return
+# lazy plans, so there is no in-operator point where unpersist is safe.
+# Instead each new invocation releases the PREVIOUS invocation's cache:
+# repeated driver sweeps hold at most one cached copy per operator rather
+# than accumulating executor-memory blocks without bound.
+_live_caches: dict[str, DataFrame] = {}
+
+
+def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
+    old = _live_caches.get(slot)
+    if old is not None:
+        # non-blocking: any still-running plan over the old blocks simply
+        # recomputes its partitions
+        old.unpersist(blocking=False)
+    _live_caches[slot] = df.cache()
+    return _live_caches[slot]
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup groups keyed by content hash; keeps the smallest doc_id
     as canonical (deterministic survivor pick). Shuffles 32-byte hashes,
@@ -74,7 +93,7 @@ def ngram_jaccard_pairs(
     docs produces f·(f-1)/2 candidate pairs, so frequency capping is what
     keeps this sub-quadratic at corpus scale. Jaccard = |∩|/|∪| of
     *distinct* shingles — an exact integer ratio (oracle-portable)."""
-    sh = shingles(documents, n).cache()
+    sh = _swap_cache("ngram_shingles", shingles(documents, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
@@ -124,7 +143,7 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3, k: int = 8) -> Data
     minhash component; `n_bands_shared` estimates Jaccard as shared/k.
     The join key is (perm, minhash) — tiny, uniform, skew-free. The
     signature relation is cached: it feeds both sides of the self-join."""
-    sig = minhash_signatures(documents, n, k).cache()
+    sig = _swap_cache("minhash_sig", minhash_signatures(documents, n, k))
     return (
         sig.alias("a")
         .join(sig.alias("b"), ["perm", "minhash"])
@@ -142,13 +161,17 @@ def near_dup_clusters(
     the canonical-survivor assignment a dedup pipeline keys its
     keep-one-per-cluster filter on.
 
-    Pregel-style min-label propagation (GraphX/GraphFrames are not on the
-    classpath): each round is one distributed join + min-aggregate;
-    the driver loop only reads a convergence COUNT, never data rows, and
-    rounds are bounded by the component diameter (≤ log n with path
-    shortening via the self-label join). ``localCheckpoint`` truncates
-    the growing lineage each round — at 100 TB this runs exactly the
-    same shape with checkpointing to cluster storage."""
+    Pregel-style min-label propagation with pointer jumping (GraphX/
+    GraphFrames are not on the classpath): each round every node takes the
+    min over (its label, its neighbors' labels, its LABEL'S label). The
+    third term is the pointer jump — labels propagate through labels, not
+    just edges — which halves the remaining path length every round, so
+    convergence is O(log diameter) rounds, not O(diameter). The driver
+    loop only reads a convergence COUNT, never data rows, and
+    ``localCheckpoint`` truncates the growing lineage each round — at
+    100 TB this runs exactly the same shape with checkpointing to cluster
+    storage. Raises if the round budget is exhausted before convergence
+    (a silently-unconverged labeling would split real dup chains)."""
     pairs = ngram_jaccard_pairs(documents, threshold=threshold).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -165,11 +188,21 @@ def near_dup_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nb_label").alias("nb_min"))
         )
+        # pointer jump: the current label OF my current label (cluster ids
+        # are always doc_ids, so the self-join key always resolves)
+        jump = labels.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("jump_label")
+        )
         new_labels = (
             labels.join(nb, "doc_id", "left")
+            .join(jump, "cluster_id", "left")
             .select(
                 "doc_id",
-                F.least("cluster_id", F.coalesce("nb_min", "cluster_id")).alias("cluster_id"),
+                F.least(
+                    "cluster_id",
+                    F.coalesce("nb_min", "cluster_id"),
+                    F.coalesce("jump_label", "cluster_id"),
+                ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
@@ -181,8 +214,11 @@ def near_dup_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iter} rounds — "
+        "component min-labels were still moving; raise max_iter"
+    )
 
 
 def chunk_shared_pairs(
@@ -198,7 +234,7 @@ def chunk_shared_pairs(
     boilerplate, not signal)."""
     from distributed_classification_system_spark.functions.text import rolling_fingerprints
 
-    fp = rolling_fingerprints(documents, window).cache()
+    fp = _swap_cache("chunk_fp", rolling_fingerprints(documents, window))
     rare = fp.join(
         fp.groupBy("chunk_hash").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
         "chunk_hash",
@@ -284,7 +320,7 @@ def simhash_near_dups(
     oversized buckets are near-identical boilerplate clusters — at corpus
     scale the cap is what bounds the self-join output; the survivors of
     such a cluster are found through exact dedup instead."""
-    sh = documents.select("doc_id", simhash64("text").alias("simhash")).cache()
+    sh = _swap_cache("simhash_fp", documents.select("doc_id", simhash64("text").alias("simhash")))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(

@@ -145,7 +145,9 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
         F.sum(F.when(err, 1).otherwise(0)).cast("int").alias("failed"),
         # exact integer cents → one IEEE division: order-independent total
         # (a raw double sum is shuffle-order-dependent and can't hash-match
-        # the streaming fold or a SQL oracle)
+        # the streaming fold or a SQL oracle). F.round is HALF_UP; the
+        # streaming folds use half-to-even — identical only under the
+        # no-exact-half-cent precondition documented in streaming/state.py
         (
             F.sum(F.round(F.col("processing_time_ms") * 100).cast("long")).cast("double") / 100.0
         ).alias("processing_time_ms"),

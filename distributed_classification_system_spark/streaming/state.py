@@ -225,6 +225,14 @@ def session_fold(
         st["classified"] += len(preds) - unk - nfail
         st["unknown"] += unk
         st["failed"] += nfail
+        # ROUNDING PRECONDITION (holds for all three cents conversions:
+        # pandas .round here, np.rint in the bucket fold, F.round/round()
+        # in the batch twin + DuckDB oracles): pandas/numpy round
+        # half-to-even, Spark/DuckDB round half-away — they agree ONLY
+        # because ms*100 never lands exactly on .5 (the kernel emits
+        # n_tok * 0.05, so ms*100 ≈ n_tok*5 ± float epsilon, never a
+        # half-cent). Any new time source must keep this property or
+        # switch every site to one explicit rule (e.g. floor(x*100+0.5)).
         st["sum_cents"] += int(pdf["processing_time_ms"].mul(100).round().sum())
         st["max_ts_us"] = max(st["max_ts_us"], int(pdf["ts"].max().value // 1000))
         for i, p in zip(idxs[~err], preds[~err]):
@@ -419,6 +427,9 @@ def _fold_one_pdf(
     err_arr = pdf["error_reason"].notna().to_numpy()
     unk_arr = ((pred_arr == "unknown") & ~err_arr).astype("int64")
     fail_arr = err_arr.astype("int64")
+    # np.rint is half-to-even; bit-matches the HALF_UP sites only under the
+    # no-exact-half-cent precondition documented at session_fold's
+    # sum_cents accumulation
     ms_arr = np.rint(pdf["processing_time_ms"].to_numpy() * 100).astype("int64")
     ts_arr = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
     nexp_arr = pdf["n_turns"].to_numpy()

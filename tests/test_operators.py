@@ -140,3 +140,30 @@ def test_simhash_matches_scalar_reference(spark):
     got = {r.doc_id: r.sh for r in docs.select("doc_id", simhash64("text").alias("sh")).collect()}
     want = {r.doc_id: scalar_simhash(r.text) for r in docs.collect()}
     assert got == want
+
+
+def _chain_docs(spark, n: int):
+    """Near-dup CHAIN of n docs: doc i = u_i×4 then u_{i+1}×4, so adjacent
+    docs share exactly one 3-shingle (jaccard 1/7 ≈ 0.143) and non-adjacent
+    docs share none — component diameter = n-1."""
+    rows = [(i, " ".join([f"w{i:04d}"] * 4 + [f"w{i + 1:04d}"] * 4)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_clusters_pointer_jumping_converges_on_long_chain(spark):
+    """A 40-hop dup chain needs ~39 rounds under plain neighbor-min
+    propagation; pointer jumping (labels propagate through labels) must
+    collapse it within the default 12-round budget."""
+    docs = _chain_docs(spark, 40)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(docs, threshold=0.1).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_near_dup_clusters_raises_when_round_budget_exhausted(spark):
+    """Exhausting max_iter with labels still moving must raise — a
+    silently-unconverged labeling splits real dup chains."""
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(_chain_docs(spark, 40), threshold=0.1, max_iter=2)
