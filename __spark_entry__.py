@@ -354,6 +354,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conjunction_filter"] = lambda s, d: _serve.conjunction_filter(_t(s, d, "orders"))
     q["display_topn"] = lambda s, d: _serve.display_topn(_t(s, d, "documents"))
 
+    # --- sampling / packing / chunking (training-data curation; r3) -------
+    # Past the driver window like the serve trivia, but fully oracled: the
+    # local parity suite (tests/test_oracle_parity.py) hash-checks them.
+    from distributed_classification_system_spark.operators import sample as _sample
+
+    q["stratified_sample"] = lambda s, d: _sample.stratified_sample(
+        _t(s, d, "documents"), rates={"en": 0.5, "de": 0.25, "es": 0.75, "fr": 0.125}
+    )
+    q["pack_sequences"] = lambda s, d: _sample.pack_sequences(_t(s, d, "documents"))
+    q["pack_greedy"] = lambda s, d: _sample.pack_sequences_greedy(_t(s, d, "documents"))
+    q["chunk_documents"] = lambda s, d: _sample.chunk_documents(
+        _t(s, d, "documents").filter(F.col("doc_id") < 200)
+    )
+
     return q
 
 
@@ -1076,6 +1090,65 @@ pairs AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+"""
+
+    # deterministic per-stratum hash sampling: bucket = first 8 md5 hex
+    # digits of 'strat|doc_id' mod 10000; rates are dyadic so rate*10000
+    # is exact in IEEE (Spark truncating cast == DuckDB rounding cast)
+    o["stratified_sample"] = """
+WITH bucketed AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                   WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.125 ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, bucket
+FROM bucketed WHERE bucket < CAST(rate * 10000 AS BIGINT)
+"""
+
+    # offset-binning sequence packing: head-to-tail per source in doc_id
+    # order, pack = first-token offset // budget(512)
+    o["pack_sequences"] = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tok
+  FROM documents
+),
+off AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT doc_id, source, n_tok, start_offset // 512 AS pack_id, start_offset
+FROM off
+"""
+
+    # context-window chunking: windows of 64 tokens advancing by 48
+    # (overlap 16), final partial window kept; parallel unnests zip
+    o["chunk_documents"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 200
+),
+meta AS (
+  SELECT doc_id, toks,
+         1 + CAST(ceil(CAST(greatest(0, len(toks) - 64) AS DOUBLE) / 48) AS INTEGER) AS n_chunks
+  FROM docs
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+         unnest(list_transform(generate_series(0, n_chunks - 1),
+                i -> array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' '))) AS chunk
+  FROM meta
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(string_split(chunk, ' ')) AS INTEGER) AS chunk_tokens,
+       md5(chunk) AS chunk_md5
+FROM chunks
 """
 
     # multi-probe IVF: each query searches its 2 closest cells

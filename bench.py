@@ -238,11 +238,14 @@ def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
                 pair[cpus] = {**_run_probe(cpus, scale_sf, data_dir),
                               "loadavg_before": round(load, 2)}
             passes.append(pair)
-            # a clean first pass stands alone; afterwards stop as soon as
-            # the best-per-level estimate clears the target (more passes
-            # can only raise a per-level max, never lower it), with a
-            # fourth pass as the last chance after a fully-poisoned trio
-            if _pass_eff(best_per_level(passes, lo, hi), lo, hi) >= 0.8:
+            # never report from a single pass: a one-off SLOWED N-core
+            # probe would inflate the ratio with nothing to corroborate
+            # it (best_per_level's inflation defense — a faster N probe
+            # raising the denominator — needs a second sample). From two
+            # passes on, stop once the best-per-level estimate clears the
+            # target (more passes can only raise a per-level max), with a
+            # fourth pass as the last chance after a poisoned trio.
+            if len(passes) >= 2 and _pass_eff(best_per_level(passes, lo, hi), lo, hi) >= 0.8:
                 break
         effs = [_pass_eff(p, lo, hi) for p in passes]
         rates = best_per_level(passes, lo, hi)
