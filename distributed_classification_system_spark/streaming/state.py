@@ -145,6 +145,14 @@ def _summary_frame(rows: list[dict[str, Any]]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_OUT_COLS)
 
 
+def _null_unless(err_mask: "np.ndarray") -> "pd.arrays.IntegerArray":
+    """Nullable Int32 column: 0 where err_mask, <NA> elsewhere — allocation
+    is two flat numpy arrays, no per-row Python objects."""
+    return pd.arrays.IntegerArray(
+        np.zeros(len(err_mask), dtype="int32"), mask=~err_mask
+    )
+
+
 def session_fold(
     key: tuple[str],
     pdfs: Iterable[pd.DataFrame],
@@ -201,7 +209,11 @@ def session_fold(
                     retries[k] = retries.get(k, 0) + 1
                     bumps.append(retries[k])
                 out_parts.append(
-                    re_err.assign(row_type="error", summary_json=None, retry_count=bumps)
+                    re_err.assign(
+                        row_type="error",
+                        summary_json=None,
+                        retry_count=pd.array(bumps, dtype="Int32"),
+                    )
                 )
             pdf = pdf[~dup]
         if st["done"] or pdf.empty:
@@ -238,12 +250,14 @@ def session_fold(
         for i, p in zip(idxs[~err], preds[~err]):
             labels.setdefault(p, []).append(int(i))
         # single vectorized pass-through: input columns + constants (the
-        # retry counter is 0 on a first-attempt error, null on turns)
+        # retry counter is 0 on a first-attempt error, null on turns).
+        # Nullable Int32, NOT np.where(err, 0, None): an object-dtype
+        # column would box one PyObject per output row on the hot path
         out_parts.append(
             pdf.assign(
                 row_type=np.where(err, "error", "turn"),
                 summary_json=None,
-                retry_count=np.where(err, 0, None),
+                retry_count=_null_unless(err),
             )
         )
 
@@ -393,6 +407,9 @@ def _fold_one_pdf(
                         bumps.append(r[k])
                 re_err = re_err.assign(row_type="error", summary_json=None, retry_count=bumps)
                 re_err = re_err[re_err["retry_count"].notna()]
+                # match the hot path's nullable Int32 so the later concat
+                # keeps a flat dtype instead of degrading to object
+                re_err = re_err.assign(retry_count=re_err["retry_count"].astype("Int32"))
                 if not re_err.empty:
                     retry_out = re_err
             pdf = pdf[~dup]
@@ -403,13 +420,15 @@ def _fold_one_pdf(
 
     # per-turn pass-through: ONE vectorized assign for the whole bucket;
     # T6 rows surface as row_type='error' in the same sink pass (retry
-    # counter: 0 on a first-attempt error, null on turns)
+    # counter: 0 on a first-attempt error, null on turns — as a nullable
+    # Int32 array, never an object column: np.where(mask, 0, None) would
+    # box one PyObject per output row on the hot path)
     err_mask = pdf["error_reason"].notna().to_numpy()
     out = (
         pdf.assign(
             row_type=np.where(err_mask, "error", "turn"),
             summary_json=None,
-            retry_count=np.where(err_mask, 0, None),
+            retry_count=_null_unless(err_mask),
         )
         if emit_turns
         else None

@@ -70,3 +70,34 @@ def test_best_per_level_never_below_any_pass_efficiency_pairing():
     # pairing pass2's slow lo with pass1's fast hi would claim 1.03 —
     # best_per_level instead pairs the two maxima: 47600/(4*14200)=0.838
     assert best_eff < 0.85
+
+
+def _pb(lo_rate, hi_rate, lo_batches, hi_batches):
+    return {
+        2: {"turns_per_sec": lo_rate, "batch_rates": lo_batches},
+        8: {"turns_per_sec": hi_rate, "batch_rates": hi_batches},
+    }
+
+
+def test_best_batch_rate_survives_probe_level_contamination():
+    # no single probe is fully clean (every whole-run rate is depressed),
+    # but each level has at least one clean micro-batch somewhere
+    passes = [
+        _pb(11000, 26000, [11000, 14800, 9000], [26000, 30000, 29000]),
+        _pb(12000, 31000, [12500, 13900, 12100], [47500, 31000, 22000]),
+    ]
+    best = bench.best_batch_rate_per_level(passes, 2, 8)
+    assert best == {2: 14800, 8: 47500}
+    assert abs(best[8] / (4 * best[2]) - 0.802) < 0.001
+
+
+def test_best_batch_rate_denominator_uses_fastest_n_batch():
+    # the fastest N-core batch lands in the denominator, so a slowed
+    # N-core probe cannot inflate the ratio
+    passes = [
+        _pb(9000, 47600, [9000, 9100], [47600, 45000]),
+        _pb(14200, 40000, [14800, 14200], [40000, 39000]),
+    ]
+    best = bench.best_batch_rate_per_level(passes, 2, 8)
+    assert best[2] == 14800  # NOT the contaminated 9k side
+    assert best[8] / (4 * best[2]) < 0.81
