@@ -273,9 +273,16 @@ def simhash64(text: pd.Series) -> pd.Series:
 
     n = len(text)
     shifts = np.arange(64, dtype=np.uint64)
+    # null/empty text → fingerprint 0 (a contentless doc has no bits to
+    # vote). Without this guard "" would tokenize to the single token ""
+    # and get an md5("")-derived fingerprint — while the DuckDB twin drops
+    # null-text docs entirely (string_split(NULL) unnests to zero rows), a
+    # silent parity divergence. simhash_near_dups filters such docs out on
+    # both engines; the 0 sentinel keeps the bare UDF honest too.
+    filled = text.fillna("")
     # single-space split (NOT whitespace runs): the engine's standard
     # tokenizer, bit-matching DuckDB string_split(lower(text), ' ')
-    exploded = text.fillna("").str.lower().str.split(" ").explode().dropna()
+    exploded = filled[filled != ""].str.lower().str.split(" ").explode().dropna()
     if exploded.empty:
         return pd.Series(np.zeros(n, dtype=np.int64))
     row_of = exploded.index.to_numpy(dtype=np.int64)  # nondecreasing
@@ -319,8 +326,18 @@ def simhash_near_dups(
     ``max_df`` cap): a bucket of f docs yields f·(f-1)/2 candidates, and
     oversized buckets are near-identical boilerplate clusters — at corpus
     scale the cap is what bounds the self-join output; the survivors of
-    such a cluster are found through exact dedup instead."""
-    sh = _swap_cache("simhash_fp", documents.select("doc_id", simhash64("text").alias("simhash")))
+    such a cluster are found through exact dedup instead.
+
+    Null/empty-text docs are excluded up front (matching the DuckDB twin,
+    where string_split(NULL) unnests to zero rows): a contentless doc has
+    no meaningful near-dups, and admitting them would cluster every empty
+    doc with every other through the shared 0 fingerprint."""
+    sh = _swap_cache(
+        "simhash_fp",
+        documents.filter(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
+            "doc_id", simhash64("text").alias("simhash")
+        ),
+    )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(

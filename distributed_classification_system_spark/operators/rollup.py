@@ -152,6 +152,30 @@ def scaling_events(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_series(events: DataFrame) -> DataFrame:
+    """W1/W2/W3/W4/W5 consolidated: the hourly count series with its lag
+    derivative (drain rate), centered moving average, cumulative sum and
+    scaling-event direction in ONE window scan. The four single-metric
+    variants above share this CTE and plan shape — one query covers them
+    all (and on a cluster one pass beats four). The global orderBy is over
+    the pre-aggregated ~720-row hourly series, not the raw events, so the
+    single-task window is fine at any event volume."""
+    w = Window.orderBy("hour")
+    wma = Window.orderBy("hour").rowsBetween(-2, 2)
+    wcum = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("cnt").over(w)
+    return _hourly_counts(events).select(
+        "hour",
+        "cnt",
+        (F.col("cnt") - prev).alias("delta"),
+        (F.sum("cnt").over(wma).cast("double") / F.count("*").over(wma)).alias("cnt_ma"),
+        F.sum("cnt").over(wcum).alias("cum_cnt"),
+        F.when(F.col("cnt") > prev, F.lit("scale_up"))
+        .when(F.col("cnt") < prev, F.lit("scale_down"))
+        .alias("direction"),
+    )
+
+
 def range_align(events: DataFrame, start: str, end: str) -> DataFrame:
     """W9 time-range alignment filter (generate_graphs.py:86-114)."""
     return events.filter(F.col("ts").between(start, end)).groupBy("event_type").agg(

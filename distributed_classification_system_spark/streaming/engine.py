@@ -516,6 +516,11 @@ def read_failed_turns(spark: SparkSession, out_dir: str) -> DataFrame:
             df = _read_results(spark, out_dir, "error")
         except AnalysisException:
             return spark.createDataFrame([], cols)
+        if "retry_count" not in df.columns:
+            # sink files written before the r3 format change (per-attempt
+            # retry counters) carry no retry_count column — surface them
+            # as attempt-unknown (null) instead of failing the read
+            df = df.withColumn("retry_count", F.lit(None).cast("int"))
     return df.select(
         "conv_id", "turn_idx", "role", "ts", "error_reason", "retry_count",
         "batch_id", "part_id",

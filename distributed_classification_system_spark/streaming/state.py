@@ -590,6 +590,20 @@ def bucket_summary_fold(
 
 
 def _state_dict(tup) -> dict[str, Any]:
+    # STATE FORMAT VERSION GUARD: round 3 grew the schema to 11 fields
+    # (retries_json) — resuming from a checkpoint written by an older
+    # engine build would silently misread the tuple. Fail with an
+    # actionable message instead (a pre-release engine does not carry
+    # cross-version checkpoint migration; restart from a fresh checkpoint
+    # or replay the input — the sink is idempotent under replay).
+    if len(tup) != len(STATE_SCHEMA):
+        raise RuntimeError(
+            f"session-fold state has {len(tup)} fields, engine expects "
+            f"{len(STATE_SCHEMA)} — this checkpoint was written by an "
+            "older/newer engine build (state format changed in r3: "
+            "+retries_json). Delete the checkpoint dir and replay the "
+            "input; the batch-id-overwrite sink makes replay idempotent."
+        )
     return {
         "n_expected": tup[0],
         "classified": tup[1],
