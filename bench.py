@@ -2,15 +2,21 @@
 """Benchmark harness.
 
 Default mode: runs the headline query suite at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
+stdout line is a compact (<2 KB) headline JSON — the driver tail-captures
+stdout and parses the last line, so it must stay small:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
-     "pipeline": {"turns": N, "turns_per_sec": X},
-     "scaling": {"n_cpus": 2, "four_n_cpus": 8,
-                 "turns_per_sec_n": X, "turns_per_sec_4n": Y,
-                 "efficiency": Y/(4X)}}
+     "pipeline": {"turns": N, "sec": S, "turns_per_sec": X,
+                  "best_batch_rate": B},
+     "scaling": {"n_cpus": 2, "four_n_cpus": 8, ...,
+                 "efficiency": bestbatch_4N/(4*bestbatch_N),
+                 "efficiency_whole_run": rate_4N/(4*rate_N),
+                 "stop_reason": "...", "pass_efficiencies": [...]}}
+
+Full diagnostics (per-query loadavgs, per-batch durations, per-pass batch
+rate arrays) go to BENCH/diagnostics.json and an earlier stdout line.
 
 The scaling block evidences the north-rule two-cluster-size criterion by
 running the identical end-to-end pipeline (ingest → classify → stateful
@@ -246,10 +252,48 @@ def best_batch_rate_per_level(passes: list[dict], lo: int, hi: int) -> dict:
     grows over a run's batches identically at both levels, so the ratio
     of per-level bests compares like with like; per-batch machinery
     (planning, offset commit) is excluded by using addBatch time, which is
-    also why this estimator needs no giant input to amortize fixed cost."""
-    return {
-        cpus: max(max(p[cpus]["batch_rates"]) for p in passes) for cpus in (lo, hi)
-    }
+    also why this estimator needs no giant input to amortize fixed cost.
+
+    A probe whose batch_rates came back EMPTY (every progress entry had
+    rows==0 or a missing addBatch duration — seen when the source folds
+    the whole input into one degenerate trigger) falls back to its
+    whole-run rate instead of poisoning the max() with an empty sequence."""
+
+    def probe_best(p: dict) -> float:
+        return max(p["batch_rates"]) if p.get("batch_rates") else p["turns_per_sec"]
+
+    return {cpus: max(probe_best(p[cpus]) for p in passes) for cpus in (lo, hi)}
+
+
+def _bb_eff(bb: dict, lo: int, hi: int) -> float | None:
+    """Best-batch efficiency estimate, None if the denominator is unusable."""
+    return round(bb[hi] / (4 * bb[lo]), 3) if bb.get(lo) else None
+
+
+def converged(
+    n_passes: int,
+    prev_bb: dict | None,
+    bb: dict,
+    est: float | None,
+    lo: int,
+    hi: int,
+    min_passes: int = 3,
+) -> bool:
+    """Probe-loop stop decision — see the comment in scaling_block. True
+    iff the minimum pass count ran, the latest pass improved NEITHER
+    level's best-batch max by >1% (the maxima are monotone, so this means
+    plateau), and the estimate is physically plausible (≤ 0.98; above
+    that the N denominator is still load-depressed). Deliberately does
+    NOT look at any pass/fail target — stopping must not be conditioned
+    on the number being good."""
+    return (
+        n_passes >= min_passes
+        and prev_bb is not None
+        and bb[lo] <= prev_bb[lo] * 1.01
+        and bb[hi] <= prev_bb[hi] * 1.01
+        and est is not None
+        and est <= 0.98
+    )
 
 
 def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
@@ -286,30 +330,40 @@ def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
             raise RuntimeError("scaling input generation failed")
         hi, lo = n_cpus * 4, n_cpus
         passes: list[dict[int, dict]] = []
-        for n_pass in range(6):
+        bb_history: list[float | None] = []
+        prev_bb: dict | None = None
+        stop_reason = "budget_exhausted"
+        # Stop rule — deliberately DECOUPLED from the 0.8 target (an
+        # earlier version stopped as soon as the estimate landed in the
+        # pass band, which gave below-target runs extra chances to drift
+        # up while in-band runs stopped immediately: optional stopping
+        # that biases the headline). Now: always run MIN_PASSES, then stop
+        # only on CONVERGENCE — the latest pass raised NEITHER level's
+        # best sustained batch rate by >1%. Per-level maxima are monotone
+        # nondecreasing across passes, so an unimproving pass means the
+        # estimate has plateaued and further probing is spending budget,
+        # not information — regardless of whether the value is 0.6 or 0.9.
+        # Plausibility guard: this engine cannot scale superlinearly N→4N,
+        # so an estimate > 0.98 means the N-side max is still load-
+        # depressed (observed: a clean 4N batch over an all-depressed N
+        # probe read 1.006) — never conclude there, keep probing. The
+        # budget stays 6 passes: contamination waves recede over several
+        # probe-lengths (observed 4N sequence 13k->18k->31k->40k).
+        MIN_PASSES, MAX_PASSES = 3, 6
+        for n_pass in range(MAX_PASSES):
             pair: dict[int, dict] = {}
             for cpus in (lo, hi):
                 load = _wait_for_quiet()
                 pair[cpus] = {**_run_probe(cpus, scale_sf, data_dir),
                               "loadavg_before": round(load, 2)}
             passes.append(pair)
-            # never report from a single pass: a one-off SLOWED N-core
-            # probe would inflate the ratio with nothing to corroborate
-            # it (the per-level-max inflation defense — a faster N probe
-            # raising the denominator — needs a second sample). From two
-            # passes on, stop once the best-batch estimate clears the
-            # target AND is physically plausible: this engine cannot
-            # scale superlinearly N→4N, so an estimate near/above 1.0
-            # means the N-side max is still load-depressed (observed: a
-            # clean 4N batch paired with an all-depressed N probe read
-            # 1.006) — keep probing; more passes can only raise the N
-            # denominator, pulling the estimate down toward truth. The
-            # budget is 6 passes because a contamination wave recedes
-            # over several probe-lengths (observed 4N sequence 13k->18k->
-            # 31k->40k across 4 passes).
             bb = best_batch_rate_per_level(passes, lo, hi)
-            if len(passes) >= 2 and 0.8 <= bb[hi] / (4 * bb[lo]) <= 0.98:
+            est = _bb_eff(bb, lo, hi)
+            bb_history.append(est)
+            if converged(len(passes), prev_bb, bb, est, lo, hi, MIN_PASSES):
+                stop_reason = "converged_stable_maxima"
                 break
+            prev_bb = bb
         effs = [_pass_eff(p, lo, hi) for p in passes]
         rates = best_per_level(passes, lo, hi)
         bb = best_batch_rate_per_level(passes, lo, hi)
@@ -326,9 +380,11 @@ def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
         "sec_4n": rates[hi]["sec"],
         "best_batch_rate_n": bb[lo],
         "best_batch_rate_4n": bb[hi],
-        "efficiency": round(bb[hi] / (4 * bb[lo]), 3),
+        "efficiency": _bb_eff(bb, lo, hi),
         "efficiency_whole_run": round(_pass_eff(rates, lo, hi), 3),
         "estimator": "best sustained micro-batch rate per level over interleaved paired passes",
+        "stop_reason": stop_reason,
+        "pass_bb_estimates": bb_history,
         "n_passes": len(passes),
         "pass_efficiencies": [round(e, 3) for e in effs],
         "pass_loadavgs": [
@@ -408,6 +464,23 @@ def main() -> None:
         qmap[name](spark, SF_DIR).count()
         times[name] = round(time.time() - t0, 3)
 
+    # dedup at a SECOND scale (the graded dedup queries run on sliced
+    # inputs sized for the sf0.01 correctness gate; these two lines price
+    # the blocking caps' sub-quadratic claim on the FULL documents table,
+    # ~10-16x the graded doc count at sf0.1)
+    from distributed_classification_system_spark.operators import dedup as _dedup
+
+    docs_full = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs_full = docs_full.count()
+    for nm, fn in (
+        ("minhash_lsh_full", _dedup.minhash_lsh_candidates),
+        ("simhash_full", _dedup.simhash_near_dups),
+    ):
+        loads[nm] = round(os.getloadavg()[0], 2)
+        t0 = time.time()
+        fn(docs_full).count()
+        times[nm] = round(time.time() - t0, 3)
+
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
         loads["e2e_pipeline"] = round(os.getloadavg()[0], 2)
@@ -417,17 +490,52 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Output contract: the driver tail-captures stdout and parses the LAST
+    # line as the artifact — r3's single fat line (per-batch dicts, six
+    # pass arrays, per-query loadavgs) outgrew the capture and lost its
+    # HEAD, making the whole artifact unparseable. The full diagnostics
+    # now go to BENCH/diagnostics.json (and an earlier, expendable stdout
+    # line); the last line is a compact (<2 KB) headline.
+    diagnostics = {
+        "query_loadavg": loads,
+        "pipeline": pipe,
+        "scaling": scaling,
+        "dedup_scale": {
+            "full_docs": n_docs_full,
+            "graded_minhash_docs": "doc_id<300 slice",
+            "graded_simhash_docs": "doc_id<500 slice + every-25th dup",
+        },
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open(os.path.join("BENCH", "diagnostics.json"), "w") as f:
+        json.dump(diagnostics, f, indent=1)
+    print("BENCH_DIAGNOSTICS " + json.dumps(diagnostics))
+
+    pipe_compact = {k: pipe[k] for k in ("turns", "sec", "turns_per_sec", "best_batch_rate")}
+    scaling_compact = None
+    if scaling is not None:
+        scaling_compact = {
+            k: scaling[k]
+            for k in (
+                "n_cpus", "four_n_cpus", "scale_sf", "turns",
+                "turns_per_sec_n", "turns_per_sec_4n",
+                "best_batch_rate_n", "best_batch_rate_4n",
+                "efficiency", "efficiency_whole_run",
+                "stop_reason", "n_passes", "pass_efficiencies",
+            )
+        }
     out = {
         "metric": "classified turns/sec end-to-end (ingest->classify->sink)",
         "value": round(sum(times.values()), 2),
         "unit": "sec",
         "queries": times,
-        "query_loadavg": loads,
         "sf": sf,
-        "pipeline": pipe,
-        "scaling": scaling,
+        "pipeline": pipe_compact,
+        "scaling": scaling_compact,
     }
-    print(json.dumps(out))
+    final = json.dumps(out)
+    assert len(final) < 4096, f"headline line grew to {len(final)}B — trim it"
+    print(final)
 
 
 if __name__ == "__main__":

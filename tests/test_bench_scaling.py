@@ -91,6 +91,70 @@ def test_best_batch_rate_survives_probe_level_contamination():
     assert abs(best[8] / (4 * best[2]) - 0.802) < 0.001
 
 
+def test_best_batch_rate_empty_probe_falls_back_to_whole_run():
+    # one degenerate probe (all progress entries filtered out) must not
+    # raise max([]) and kill the whole multi-probe run — it falls back to
+    # its whole-run rate
+    passes = [
+        _pb(12000, 44000, [], [44000, 45000]),
+        _pb(14000, 46000, [14500, 13900], []),
+    ]
+    best = bench.best_batch_rate_per_level(passes, 2, 8)
+    assert best == {2: 14500, 8: 46000}
+
+
+def test_bb_eff_guards_zero_denominator():
+    assert bench._bb_eff({2: 0, 8: 40000}, 2, 8) is None
+    assert bench._bb_eff({2: 14200, 8: 47600}, 2, 8) == 0.838
+
+
+def _converged_seq(bbs, min_passes=3):
+    """Feed a sequence of per-pass (bb_lo, bb_hi) maxima through the stop
+    rule the way scaling_block does; return the pass index (1-based) the
+    loop stops at, or None for budget exhaustion."""
+    prev = None
+    for i, (lo_max, hi_max) in enumerate(bbs, 1):
+        bb = {2: lo_max, 8: hi_max}
+        est = bench._bb_eff(bb, 2, 8)
+        if bench.converged(i, prev, bb, est, 2, 8, min_passes):
+            return i
+        prev = bb
+    return None
+
+
+def test_stop_rule_not_conditioned_on_target():
+    # a run plateaued BELOW 0.8 stops exactly like one plateaued above it
+    # (the old rule gave sub-0.8 runs up to 6 chances to drift up while
+    # in-band runs stopped immediately — optional-stopping bias)
+    below = [(14000, 33000), (14000, 33000), (14000, 33000)]  # est 0.589
+    above = [(14000, 47000), (14000, 47000), (14000, 47000)]  # est 0.839
+    assert _converged_seq(below) == 3
+    assert _converged_seq(above) == 3
+
+
+def test_stop_rule_keeps_probing_while_maxima_improve():
+    # a receding contamination wave raises the 8-core max every pass —
+    # no stop until it plateaus
+    seq = [(14000, 18000), (14000, 31000), (14000, 40000), (14200, 47500), (14200, 47600)]
+    assert _converged_seq(seq) == 5
+
+
+def test_stop_rule_rejects_superlinear_estimates():
+    # est > 0.98 means the N denominator is still depressed — never stop
+    # there even if the maxima look stable
+    seq = [(9000, 47000), (9000, 47000), (9000, 47000), (9000, 47000)]
+    assert _converged_seq(seq) is None  # est 1.306 every pass → budget
+    # …until a clean N probe lands and pulls the estimate into range
+    seq2 = seq[:2] + [(14200, 47600), (14200, 47600)]
+    assert _converged_seq(seq2) == 4
+
+
+def test_stop_rule_enforces_min_passes():
+    flat = [(14000, 46000)] * 6
+    assert _converged_seq(flat, min_passes=2) == 2
+    assert _converged_seq(flat, min_passes=4) == 4
+
+
 def test_best_batch_rate_denominator_uses_fastest_n_batch():
     # the fastest N-core batch lands in the denominator, so a slowed
     # N-core probe cannot inflate the ratio

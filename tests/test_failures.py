@@ -171,6 +171,68 @@ def test_cascade_failure_side_output(spark, tmp_path):
     assert summ.filter(F.col("status") != "completed").count() == 0
 
 
+def test_cascade_kill_resume_redelivery(spark, tmp_path):
+    """Cascade T6/T8 under replay: kill after a prefix, then resume from
+    the same checkpoint with BOTH the rest of the stream and a redelivered
+    copy of the first file. read_failed_turns hardcodes retry_count=0 for
+    cascade on the claim that dropDuplicatesWithinWatermark removes every
+    redelivery before the sink — this proves that claim across the restart
+    boundary: the dedup state lives in the Q1 checkpoint, so a duplicate
+    arriving after resume is either dropped by state (within watermark) or
+    dropped as late (below it) — never double-sunk. Dead letters stay one
+    row per failed turn, all first-attempt; counters never double-count."""
+    import glob
+    import shutil
+    import time as _time
+
+    t = _corrupted(spark, 20)
+    n_bad = t.filter(F.col("text").isNull()).count()
+    assert n_bad > 0
+
+    full, inp = str(tmp_path / "full"), str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    eng.write_stream_fixture(t, full, n_files=4)
+    files = sorted(glob.glob(os.path.join(full, "*.parquet")))
+    os.makedirs(inp)
+    cfg, reg = gen_conv_config(spark, 20), gen_label_registry(spark)
+
+    # phase 1: first half of the stream; both chained queries terminate
+    for f in files[:2]:
+        shutil.copy2(f, os.path.join(inp, os.path.basename(f)))
+    eng.run_stream(spark, inp, out, cfg, reg, checkpoint_dir=ckpt,
+                   max_files_per_trigger=1, await_termination=True, mode="cascade")
+    partial = eng.read_turn_results(spark, out).count()
+    assert 0 < partial < t.count()
+
+    # phase 2: resume with the rest PLUS a redelivery of file 1 (new file
+    # name + fresh mtime = how an at-least-once queue re-presents a batch)
+    for f in files[2:]:
+        shutil.copy2(f, os.path.join(inp, os.path.basename(f)))
+    dup = os.path.join(inp, "f9000.parquet")
+    shutil.copy(files[0], dup)
+    now = _time.time()
+    os.utime(dup, (now, now))
+    eng.run_stream(spark, inp, out, cfg, reg, checkpoint_dir=ckpt,
+                   max_files_per_trigger=1, await_termination=True, mode="cascade")
+
+    failed = eng.read_failed_turns(spark, out)
+    assert failed.count() == n_bad
+    assert failed.select("conv_id", "turn_idx").distinct().count() == n_bad
+    assert failed.filter(F.col("retry_count") != 0).count() == 0
+
+    turns = eng.read_turn_results(spark, out)
+    assert turns.count() == t.count() - n_bad
+    assert turns.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+    summ = eng.read_conv_summaries(spark, out)
+    agg = summ.agg(
+        F.sum("failed").alias("failed"),
+        F.sum("total").alias("total"),
+    ).collect()[0]
+    assert agg.failed == n_bad and agg.total == t.count()
+    assert summ.filter(F.col("status") != "completed").count() == 0
+
+
 def test_retry_count_on_redelivered_failures(spark, tmp_path):
     """A cross-batch redelivery of a FAILED turn in a still-open session
     bumps its attempt counter (ref models.go:20 RetryCount,
