@@ -270,27 +270,36 @@ def _bb_eff(bb: dict, lo: int, hi: int) -> float | None:
     return round(bb[hi] / (4 * bb[lo]), 3) if bb.get(lo) else None
 
 
+def _improved(prev: dict | None, cur: dict, lo: int, hi: int, tol: float = 1.01) -> bool:
+    """Did the latest pass raise either level's running maximum by >1%?"""
+    return prev is None or cur[lo] > prev[lo] * tol or cur[hi] > prev[hi] * tol
+
+
 def converged(
     n_passes: int,
     prev_bb: dict | None,
     bb: dict,
+    prev_wr: dict | None,
+    wr: dict,
     est: float | None,
     lo: int,
     hi: int,
     min_passes: int = 3,
 ) -> bool:
     """Probe-loop stop decision — see the comment in scaling_block. True
-    iff the minimum pass count ran, the latest pass improved NEITHER
-    level's best-batch max by >1% (the maxima are monotone, so this means
-    plateau), and the estimate is physically plausible (≤ 0.98; above
-    that the N denominator is still load-depressed). Deliberately does
-    NOT look at any pass/fail target — stopping must not be conditioned
-    on the number being good."""
+    iff the minimum pass count ran, the latest pass improved NEITHER the
+    best-batch NOR the whole-run per-level maxima by >1% (both are
+    monotone, so an unimproving pass means plateau for BOTH estimators —
+    a load wave that still depresses whole-run rates keeps the loop
+    probing even if the batch-level estimate settled first), and the
+    estimate is physically plausible (≤ 0.98; above that the N
+    denominator is still load-depressed). Deliberately does NOT look at
+    any pass/fail target — stopping must not be conditioned on the
+    number being good."""
     return (
         n_passes >= min_passes
-        and prev_bb is not None
-        and bb[lo] <= prev_bb[lo] * 1.01
-        and bb[hi] <= prev_bb[hi] * 1.01
+        and not _improved(prev_bb, bb, lo, hi)
+        and not _improved(prev_wr, wr, lo, hi)
         and est is not None
         and est <= 0.98
     )
@@ -332,6 +341,7 @@ def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
         passes: list[dict[int, dict]] = []
         bb_history: list[float | None] = []
         prev_bb: dict | None = None
+        prev_wr: dict | None = None
         stop_reason = "budget_exhausted"
         # Stop rule — deliberately DECOUPLED from the 0.8 target (an
         # earlier version stopped as soon as the estimate landed in the
@@ -358,12 +368,15 @@ def scaling_block(sf: float, n_cpus: int = 2, scale_factor: int = 4) -> dict:
                               "loadavg_before": round(load, 2)}
             passes.append(pair)
             bb = best_batch_rate_per_level(passes, lo, hi)
+            wr = {
+                c: best_per_level(passes, lo, hi)[c]["turns_per_sec"] for c in (lo, hi)
+            }
             est = _bb_eff(bb, lo, hi)
             bb_history.append(est)
-            if converged(len(passes), prev_bb, bb, est, lo, hi, MIN_PASSES):
+            if converged(len(passes), prev_bb, bb, prev_wr, wr, est, lo, hi, MIN_PASSES):
                 stop_reason = "converged_stable_maxima"
                 break
-            prev_bb = bb
+            prev_bb, prev_wr = bb, wr
         effs = [_pass_eff(p, lo, hi) for p in passes]
         rates = best_per_level(passes, lo, hi)
         bb = best_batch_rate_per_level(passes, lo, hi)

@@ -108,17 +108,20 @@ def test_bb_eff_guards_zero_denominator():
     assert bench._bb_eff({2: 14200, 8: 47600}, 2, 8) == 0.838
 
 
-def _converged_seq(bbs, min_passes=3):
+def _converged_seq(bbs, min_passes=3, wrs=None):
     """Feed a sequence of per-pass (bb_lo, bb_hi) maxima through the stop
     rule the way scaling_block does; return the pass index (1-based) the
-    loop stops at, or None for budget exhaustion."""
-    prev = None
+    loop stops at, or None for budget exhaustion. ``wrs`` optionally
+    supplies a distinct whole-run maxima sequence (defaults to the
+    best-batch one)."""
+    prev_bb = prev_wr = None
     for i, (lo_max, hi_max) in enumerate(bbs, 1):
         bb = {2: lo_max, 8: hi_max}
+        wr = {2: wrs[i - 1][0], 8: wrs[i - 1][1]} if wrs else bb
         est = bench._bb_eff(bb, 2, 8)
-        if bench.converged(i, prev, bb, est, 2, 8, min_passes):
+        if bench.converged(i, prev_bb, bb, prev_wr, wr, est, 2, 8, min_passes):
             return i
-        prev = bb
+        prev_bb, prev_wr = bb, wr
     return None
 
 
@@ -153,6 +156,15 @@ def test_stop_rule_enforces_min_passes():
     flat = [(14000, 46000)] * 6
     assert _converged_seq(flat, min_passes=2) == 2
     assert _converged_seq(flat, min_passes=4) == 4
+
+
+def test_stop_rule_waits_for_whole_run_plateau_too():
+    # the batch-level estimate settles immediately, but the whole-run
+    # maxima are still climbing out of a load wave — keep probing so the
+    # whole-run estimator gets the same max-seeking benefit
+    bbs = [(14000, 46000)] * 5
+    wrs = [(9000, 30000), (11000, 38000), (13000, 44000), (13900, 45500), (13950, 45600)]
+    assert _converged_seq(bbs, wrs=wrs) == 5
 
 
 def test_best_batch_rate_denominator_uses_fastest_n_batch():
