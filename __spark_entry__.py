@@ -198,7 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r3 curation operators and stream_fold_docs moved IN (never
     driver-graded before); the four single-metric hourly window variants
     (3-round green, one shared CTE/plan — consolidated into
-    hourly_series) and quality_scores (3-round green) moved out."""
+    hourly_series) and quality_scores (3-round green) moved out.
+    Round-5: hourly_series moved IN (the W1-W5 consolidation had no live
+    driver row) in place of ann_ivf (3-round green, plan shape strictly
+    covered by ann_ivf_multiprobe)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- engine core: session fold (A1/A2-A6), T6 dead-letter, S10 sink ---
@@ -351,7 +354,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # --- similarity search ---------------------------------------------------
     q["ann_bruteforce"] = lambda s, d: _ann.brute_force_topk(_t(s, d, "embeddings"))
-    q["ann_ivf"] = lambda s, d: _ann.ivf_topk(_t(s, d, "embeddings"))
+    # round-5 window swap: hourly_series (the W1-W5 consolidation — drain
+    # rate, change rate, scaling events, centered MA, cumulative sum in one
+    # scan) takes ann_ivf's slot. ann_ivf moved past-window: it has 3
+    # rounds of green history and ann_ivf_multiprobe strictly supersedes
+    # its plan shape (identical IVF pipeline at nprobe=2 vs 1), so
+    # in-window coverage loses nothing while W1-W5 regains a live row.
+    q["hourly_series"] = lambda s, d: _rollup.hourly_series(_t(s, d, "events"))
     q["ann_ivf_multiprobe"] = lambda s, d: _ann.ivf_topk_multiprobe(_t(s, d, "embeddings"))
     q["embedding_near_dups"] = lambda s, d: _ann.embedding_near_dups(_t(s, d, "embeddings"))
 
@@ -369,11 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_scores"] = lambda s, d: _text.quality_scores(_t(s, d, "documents"))
 
-    # W1-W5 consolidated (the four single-metric variants it replaces —
-    # drain_rate / moving_avg / cumulative_sum / scaling_events — remain
-    # public operators in operators/rollup.py; registering all four as
-    # separate near-identical-plan queries was count-padding)
-    q["hourly_series"] = lambda s, d: _rollup.hourly_series(_t(s, d, "events"))
+    # single-probe IVF (r1-r3 hash-green; superseded in-window by
+    # ann_ivf_multiprobe — same pipeline, nprobe=1)
+    q["ann_ivf"] = lambda s, d: _ann.ivf_topk(_t(s, d, "embeddings"))
 
     # --- serving path (S7/S9, P1-P11, O1/O2, A7) --------------------------
     q["serve_list_jobs"] = lambda s, d: _serve.list_jobs(_t(s, d, "orders"))
@@ -457,26 +464,27 @@ def _stream_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_fold_docs_")
-    inp, out = f"{tmp}/in", f"{tmp}/out"
-    eng.write_stream_fixture(transcripts, inp, n_files=4)
-    eng.run_stream(
-        spark, inp, out, config, registry,
-        max_files_per_trigger=1, fold_buckets=32, await_termination=True,
-    )
-    streamed = (
-        eng.read_conv_summaries(spark, out)
-        .drop("batch_id", "part_id")
-        .withColumn("grouped_json", F.to_json("grouped_by_label"))
-        .drop("grouped_by_label")
-        .select(
-            "conv_id", "status", "model_used", "total", "classified", "unknown",
-            "failed", "grouped_json", "processing_time_ms", "completed_at",
+    try:
+        inp, out = f"{tmp}/in", f"{tmp}/out"
+        eng.write_stream_fixture(transcripts, inp, n_files=4)
+        eng.run_stream(
+            spark, inp, out, config, registry,
+            max_files_per_trigger=1, fold_buckets=32, await_termination=True,
         )
-    )
-    # materialize BEFORE deleting the sink files (cache is not durable)
-    result = spark.createDataFrame(streamed.collect(), streamed.schema)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return result
+        streamed = (
+            eng.read_conv_summaries(spark, out)
+            .drop("batch_id", "part_id")
+            .withColumn("grouped_json", F.to_json("grouped_by_label"))
+            .drop("grouped_by_label")
+            .select(
+                "conv_id", "status", "model_used", "total", "classified", "unknown",
+                "failed", "grouped_json", "processing_time_ms", "completed_at",
+            )
+        )
+        # materialize BEFORE deleting the sink files (cache is not durable)
+        return spark.createDataFrame(streamed.collect(), streamed.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _stream_pipeline(spark: SparkSession, mode: str = "unified") -> DataFrame:
@@ -1201,7 +1209,7 @@ FROM bucketed WHERE bucket < CAST(rate * 10000 AS BIGINT)
     o["pack_sequences"] = """
 WITH base AS (
   SELECT doc_id, source,
-         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tok
+         CAST(coalesce(len(string_split(lower(text), ' ')), 0) AS INTEGER) AS n_tok
   FROM documents
 ),
 off AS (
@@ -1224,7 +1232,7 @@ FROM off
     o["pack_greedy"] = """
 WITH RECURSIVE base AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         CAST(coalesce(len(string_split(text, ' ')), 0) AS INTEGER) AS n_tok,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ),

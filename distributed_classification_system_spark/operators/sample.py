@@ -35,6 +35,15 @@ from pyspark.sql import types as T
 from distributed_classification_system_spark.functions.text import token_count
 
 
+def _n_tok_safe() -> Column:
+    """Token count with NULL text pinned to 0 on BOTH engines. Spark's
+    ``size(split(NULL))`` is NULL/-1 depending on legacy config, and a
+    NULL n_tok silently poisons every running-sum/accumulator downstream
+    (a NULL propagates through the whole stratum's offsets). The DuckDB
+    oracles mirror this with ``coalesce(len(string_split(text,' ')), 0)``."""
+    return F.when(F.col("text").isNull(), F.lit(0)).otherwise(token_count())
+
+
 def _portable_bucket(key: Column, buckets: int = 10_000) -> Column:
     """Deterministic uniform bucket in [0, buckets): first 8 hex digits of
     md5, mod buckets. Bit-identical in DuckDB:
@@ -89,7 +98,7 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     w = F.sum("n_tok").over(
         Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     )
-    base = documents.select("doc_id", "source", token_count().alias("n_tok"))
+    base = documents.select("doc_id", "source", _n_tok_safe().alias("n_tok"))
     return base.select(
         "doc_id",
         "source",
@@ -125,7 +134,7 @@ def pack_sequences_greedy(documents: DataFrame, budget_tokens: int = 512) -> Dat
     (thousands, not billions). ``pack_fill`` is the pack's running token
     total at this doc (audit column: max(pack_fill) per pack ≤ budget
     unless the pack is a single over-budget doc)."""
-    base = documents.select("doc_id", "source", token_count().alias("n_tok"))
+    base = documents.select("doc_id", "source", _n_tok_safe().alias("n_tok"))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

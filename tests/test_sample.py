@@ -127,3 +127,46 @@ def test_chunk_documents_short_doc_single_chunk(spark):
 def test_chunk_documents_rejects_bad_overlap(spark):
     with pytest.raises(ValueError):
         sample.chunk_documents(_docs(spark), max_tokens=8, overlap=8)
+
+
+def test_pack_null_text_parity_both_engines(spark, tmp_path):
+    """NULL text must not poison pack offsets (r4 ADVICE): DuckDB's
+    len(string_split(NULL)) is NULL and Spark's size(split(NULL)) is
+    NULL/-1 — unguarded, either propagates through the running sum and
+    corrupts pack_id/fill for every LATER doc in the same source. Both
+    engines now pin n_tok(NULL text) = 0; this differential test runs the
+    real oracle SQL against the real operators on a fixture WITH nulls."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "s1", "a b c"),
+        (2, "s1", None),  # mid-source null: later docs 3.. must stay sane
+        (3, "s1", "d e"),
+        (4, "s2", None),  # source-leading null
+        (5, "s2", "x y z w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    p = str(tmp_path / "documents.parquet")
+    docs.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    oracles = E.oracle_sql()
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            "|".join("∅" if v is None or v != v else str(int(v)) if isinstance(v, (int, float)) and float(v).is_integer() else str(v) for v in rec)
+            for rec in df[cols].astype(object).itertuples(index=False)
+        )
+
+    for name, fn in (
+        ("pack_sequences", sample.pack_sequences),
+        ("pack_greedy", sample.pack_sequences_greedy),
+    ):
+        got = canon(fn(docs).toPandas())
+        want = canon(con.execute(oracles[name]).df())
+        assert got == want, f"{name} diverged on null text:\n{got}\nvs\n{want}"
+        # and no NULL/negative token counts leaked through
+        assert not any("∅" in r or "|-1|" in r for r in got), got
