@@ -298,3 +298,46 @@ def test_streaming_class_rollup_matches_batch(spark, tdir, window, slide):
     want = _rollup_expected(spark, out, window, slide)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_nonbroadcast_config_join_equals_broadcast(spark, tdir):
+    """J3 at-scale seam (r4 VERDICT item 3): at 10^8 conversations the
+    conv_config table exceeds any broadcast threshold, so the engine must
+    produce identical output through a non-broadcast shuffled config join.
+    Differential: broadcast vs shuffle_hash paths, identical tables."""
+    out_b = _run(spark, tdir, sub="bcast")
+    out_s = _run(spark, tdir, run_kw={"broadcast_config": False}, sub="shuffled")
+    tb = {(r.conv_id, r.turn_idx): (r.text, r.top_prediction, r.top_confidence)
+          for r in eng.read_turn_results(spark, out_b).collect()}
+    ts = {(r.conv_id, r.turn_idx): (r.text, r.top_prediction, r.top_confidence)
+          for r in eng.read_turn_results(spark, out_s).collect()}
+    assert tb == ts
+    assert _summary_key(eng.read_conv_summaries(spark, out_b).collect()) == _summary_key(
+        eng.read_conv_summaries(spark, out_s).collect()
+    )
+
+
+def test_nonbroadcast_config_join_plan_has_no_broadcast(spark):
+    """The non-broadcast path must stay non-broadcast even when the config
+    table is tiny (Catalyst auto-broadcasts under the 10 MB threshold
+    unless hinted) — otherwise the differential test would silently
+    exercise the same plan twice."""
+    t = gen_transcripts(spark, 20)
+    cfg = gen_conv_config(spark, 20)
+    plan_b = eng._config_join(t, cfg, broadcast_config=True)._jdf.queryExecution().executedPlan().toString()
+    plan_s = eng._config_join(t, cfg, broadcast_config=False)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    assert "BroadcastHashJoin" not in plan_s
+    assert "ShuffledHashJoin" in plan_s or "SortMergeJoin" in plan_s
+
+
+def test_nonbroadcast_config_join_cascade_mode(spark, tdir):
+    """The cascade pipeline's Q2 summary fold also joins conv_config —
+    its non-broadcast path must match the broadcast one too."""
+    out_b = _run(spark, tdir, run_kw={"mode": "cascade"}, sub="cb")
+    out_s = _run(
+        spark, tdir, run_kw={"mode": "cascade", "broadcast_config": False}, sub="cs"
+    )
+    assert _summary_key(eng.read_conv_summaries(spark, out_b).collect()) == _summary_key(
+        eng.read_conv_summaries(spark, out_s).collect()
+    )
