@@ -177,3 +177,79 @@ def test_best_batch_rate_denominator_uses_fastest_n_batch():
     best = bench.best_batch_rate_per_level(passes, 2, 8)
     assert best[2] == 14800  # NOT the contaminated 9k side
     assert best[8] / (4 * best[2]) < 0.81
+
+
+# ---- round-5 kill-proofing: deadline arithmetic, shared gate, print ----
+
+
+def test_choose_scale_factor_prefers_largest_fitting_input():
+    # huge budget → 8x; the default-deadline window (~1200 s after the
+    # headline phase) → 4x; ~500 s → 2x via the minimal-plan fallback
+    assert bench._choose_scale_factor(0.1, 10_000, 600) == (8, 0.1 * 8)
+    assert bench._choose_scale_factor(0.1, 1_200, 300) == (4, 0.1 * 4)
+    assert bench._choose_scale_factor(0.1, 500, 300) == (2, 0.1 * 2)
+
+
+def test_choose_scale_factor_gives_up_when_nothing_fits():
+    assert bench._choose_scale_factor(0.1, 100, 300) is None
+
+
+def test_wait_for_quiet_budget_is_shared_across_calls(monkeypatch):
+    # a permanently-busy box must consume the SHARED budget, not 420 s per
+    # probe (r4: 8 gated probes ≈ 40 min of sleep killed the round)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (5.0, 5.0, 5.0))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setattr(bench, "PROC_T0", bench.time.time())  # deadline far away
+    gate = {"left": 45.0}
+    for _ in range(6):  # 6 probes all hitting a busy box
+        bench._wait_for_quiet(gate)
+    assert sum(slept) <= 45.0 + 1e-9
+    assert gate["left"] <= 0
+
+
+def test_wait_for_quiet_returns_immediately_when_idle(monkeypatch):
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.2, 0.2))
+    monkeypatch.setattr(
+        bench.time, "sleep", lambda s: (_ for _ in ()).throw(AssertionError("slept"))
+    )
+    gate = {"left": 300.0}
+    assert bench._wait_for_quiet(gate) == 0.2
+    assert gate["left"] == 300.0
+
+
+def test_wait_for_quiet_accepts_merely_quiet_after_half_budget(monkeypatch):
+    # load 1.2 (above idle 0.8, below quiet 1.5): sleeps through the first
+    # half of the budget holding out for idle, then accepts
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.2, 1.2, 1.2))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setattr(bench, "PROC_T0", bench.time.time())
+    gate = {"left": 100.0}
+    load = bench._wait_for_quiet(gate)
+    assert load == 1.2
+    assert 45.0 <= sum(slept) <= 60.0  # ~half the budget, not all of it
+
+
+def test_print_headline_degrades_instead_of_dying(capsys):
+    # an oversized line must fall back to a smaller VALID line — never
+    # assert (r4 ADVICE: a failed assert here would leave the giant
+    # diagnostics dump as the last stdout line)
+    import json
+
+    fat_scaling = {
+        "n_cpus": 2, "four_n_cpus": 8, "scale_sf": 0.4,
+        "best_batch_rate_n": 1.0, "best_batch_rate_4n": 4.0,
+        "efficiency": 1.0, "efficiency_whole_run": 1.0,
+        "stop_reason": "x" * 5000,  # blows the 4 KB cap
+    }
+    out = {
+        "metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1,
+        "queries": {"q": 1.0}, "pipeline": {"turns": 1},
+        "scaling": fat_scaling,
+    }
+    bench._print_headline(out)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) < 4096
+    parsed = json.loads(line)
+    assert parsed["metric"] == "m" and parsed["pipeline"] == {"turns": 1}
