@@ -509,27 +509,30 @@ def _stream_pipeline(spark: SparkSession, mode: str = "unified") -> DataFrame:
     from distributed_classification_system_spark.operators.sessionize import conv_summaries
 
     tmp = tempfile.mkdtemp(prefix="stream_pipeline_")
-    inp, out = f"{tmp}/in", f"{tmp}/out"
-    n = 120
-    transcripts = gen_transcripts(spark, n)
-    config = gen_conv_config(spark, n)
-    registry = gen_label_registry(spark)
-    eng.write_stream_fixture(transcripts, inp, n_files=3)
-    eng.run_stream(
-        spark, inp, out, config, registry,
-        max_files_per_trigger=1, fold_buckets=32, await_termination=True,
-        mode=mode,
-    )
-    streamed = (
-        eng.read_conv_summaries(spark, out)
-        .drop("batch_id", "part_id")
-        # stringify JVM-side BEFORE materializing: a map column round-tripped
-        # through collect()/createDataFrame loses its sorted key order
-        .withColumn("grouped_by_label", F.to_json("grouped_by_label"))
-    )
-    # materialize BEFORE deleting the sink files (cache is not durable)
-    result = spark.createDataFrame(streamed.collect(), streamed.schema)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        inp, out = f"{tmp}/in", f"{tmp}/out"
+        n = 120
+        transcripts = gen_transcripts(spark, n)
+        config = gen_conv_config(spark, n)
+        registry = gen_label_registry(spark)
+        eng.write_stream_fixture(transcripts, inp, n_files=3)
+        eng.run_stream(
+            spark, inp, out, config, registry,
+            max_files_per_trigger=1, fold_buckets=32, await_termination=True,
+            mode=mode,
+        )
+        streamed = (
+            eng.read_conv_summaries(spark, out)
+            .drop("batch_id", "part_id")
+            # stringify JVM-side BEFORE materializing: a map column
+            # round-tripped through collect()/createDataFrame loses its
+            # sorted key order
+            .withColumn("grouped_by_label", F.to_json("grouped_by_label"))
+        )
+        # materialize BEFORE deleting the sink files (cache is not durable)
+        result = spark.createDataFrame(streamed.collect(), streamed.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # self-check: the streaming engine must reproduce the batch fold exactly
     # on the same input — makes the driver's rows-only check meaningful

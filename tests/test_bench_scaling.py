@@ -184,14 +184,31 @@ def test_best_batch_rate_denominator_uses_fastest_n_batch():
 
 def test_choose_scale_factor_prefers_largest_fitting_input():
     # huge budget → 8x; the default-deadline window (~1200 s after the
-    # headline phase) → 4x; ~500 s → 2x via the minimal-plan fallback
+    # headline phase) → 4x; ~500 s → the 1x reduced plan (2 passes + the
+    # doubling probe beat a bigger single-pass input: the doubling is the
+    # corroboration the artifact exists to carry)
     assert bench._choose_scale_factor(0.1, 10_000, 600) == (8, 0.1 * 8)
     assert bench._choose_scale_factor(0.1, 1_200, 300) == (4, 0.1 * 4)
-    assert bench._choose_scale_factor(0.1, 500, 300) == (2, 0.1 * 2)
+    assert bench._choose_scale_factor(0.1, 500, 300) == (1, 0.1)
 
 
 def test_choose_scale_factor_gives_up_when_nothing_fits():
     assert bench._choose_scale_factor(0.1, 100, 300) is None
+
+
+def test_choose_scale_factor_calibrates_to_a_slowed_box():
+    # the r5 failure mode: the box ran ~9x slower than the cost model's
+    # calibration record, the uncalibrated chooser picked 4x, and the
+    # first 2-core probe blew its subprocess timeout → scaling: null.
+    # With the measured slowdown the same budget must pick a SMALLER
+    # input that actually fits...
+    fast = bench._choose_scale_factor(0.1, 1_200, 300)
+    slow = bench._choose_scale_factor(0.1, 1_200, 300, slowdown=9.0)
+    assert fast == (4, 0.1 * 4)
+    assert slow is not None and slow[1] < fast[1]
+    # ...and a budget that can't fit even one slowed pass at 0.5x the
+    # headline SF must still give up cleanly
+    assert bench._choose_scale_factor(0.1, 300, 300, slowdown=9.0) is None
 
 
 def test_wait_for_quiet_budget_is_shared_across_calls(monkeypatch):
