@@ -808,7 +808,7 @@ def main() -> None:
             "best_batch_rate_n", "best_batch_rate_4n",
             "efficiency", "efficiency_whole_run",
             "stop_reason", "n_passes", "pass_efficiencies",
-            "doubling_n_2n",
+            "doubling_n_2n", "cost_model_slowdown",
         )
     }
     _print_headline({**out, "scaling": scaling_compact})
