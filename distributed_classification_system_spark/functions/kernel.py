@@ -83,6 +83,137 @@ def score_text(text: str, labels: list[str], top_k: int, threshold: float) -> di
     }
 
 
+def _classify_batch(
+    text: pd.Series,
+    groups: "list[tuple[list[str], 'np.ndarray']]",
+    thr: "np.ndarray",
+    ks: "np.ndarray",
+) -> pd.DataFrame:
+    """Shared vectorized kernel body: score/rank/threshold one Arrow batch.
+
+    ``groups`` = [(sorted_label_list, row_indices)] — rows grouped by their
+    label set (the per-set index is the "model", built once per group).
+    Ranking is by the integer key (count desc, label-index asc): score =
+    (count+1)/denom is strictly monotone in count with a per-row-constant
+    denom, and labels are pre-sorted ascending, so this ordering is
+    IDENTICAL to the original (score desc, label asc) stable sort — but at
+    wide vocabularies (K2's 1000 labels) it runs as an O(L) argpartition
+    of the needed top-k instead of an O(L log L) full sort per row.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(text)
+    out_pred = np.empty(n, dtype=object)
+    out_conf = np.empty(n, dtype=np.float64)
+    out_all = np.empty(n, dtype=object)
+    out_reason = np.empty(n, dtype=object)
+
+    # tokenize in Arrow C kernels, not per-row Python (guide §4.2): lower +
+    # single-space split + flatten; split(" ") of "" is [""] so n_tok ≥ 1,
+    # matching (text or "").split(" ") in the scalar oracle bit-for-bit
+    low = pc.utf8_lower(pc.fill_null(pa.Array.from_pandas(text), ""))
+    toks = pc.split_pattern(low, " ")
+    n_tok_arr = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    out_ms = n_tok_arr.astype(np.float64) * MS_PER_TOKEN
+    flat = pc.list_flatten(toks)
+    row_of_token = np.repeat(np.arange(n, dtype=np.int64), n_tok_arr)
+
+    for ordered, rows_arr in groups:
+        n_lab = len(ordered)
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[rows_arr] = np.arange(len(rows_arr))
+
+        # count label hits: one C-level index_in over the batch's tokens
+        counts = np.zeros((len(rows_arr), n_lab), dtype=np.int64)
+        tok_lab = pc.fill_null(
+            pc.index_in(flat, value_set=pa.array(ordered, type=pa.string())), -1
+        ).to_numpy().astype(np.int64)
+        hit = tok_lab >= 0
+        hit &= pos[row_of_token] >= 0
+        np.add.at(counts, (pos[row_of_token[hit]], tok_lab[hit]), 1)
+
+        denom = n_lab + counts.sum(axis=1)
+        g = len(rows_arr)
+        kmax = int(min(int(ks[rows_arr].max()), n_lab))
+        # rank key: count desc then label-index asc, as ONE injective int
+        # (counts*L spreads counts; L-1-idx breaks ties by idx asc)
+        key = counts * np.int64(n_lab) + (np.int64(n_lab - 1) - np.arange(n_lab, dtype=np.int64))
+        if n_lab > 64 and kmax < n_lab:
+            cand = np.argpartition(-key, kmax - 1, axis=1)[:, :kmax] if kmax > 1 else None
+            if cand is None:
+                order = np.argmax(key, axis=1)[:, None]
+            else:
+                cand_key = np.take_along_axis(key, cand, axis=1)
+                order = np.take_along_axis(cand, np.argsort(-cand_key, axis=1), axis=1)
+        else:
+            order = np.argsort(-key, axis=1)[:, :kmax]
+        top_i = order[:, 0]
+        rows_ar = np.arange(g)
+        conf = (counts[rows_ar, top_i] + 1) / denom
+        out_conf[rows_arr] = conf
+        relabel = conf < thr[rows_arr]
+        lab_arr = np.asarray(ordered, dtype=object)
+        preds = lab_arr[top_i]
+        preds[relabel] = UNKNOWN_LABEL
+        out_pred[rows_arr] = preds
+        out_reason[rows_arr] = np.where(relabel, LOW_CONFIDENCE_REASON, None)
+        top_scores = (np.take_along_axis(counts, order, axis=1) + 1) / denom[:, None]
+        for r in range(g):
+            k = min(ks[rows_arr[r]], n_lab)
+            out_all[rows_arr[r]] = [
+                {"label": lab_arr[j], "score": top_scores[r, c]}
+                for c, j in enumerate(order[r, :k])
+            ]
+
+    return pd.DataFrame(
+        {
+            "top_prediction": out_pred,
+            "top_confidence": out_conf,
+            "all_predictions": out_all,
+            "reason": out_reason,
+            "processing_time_ms": out_ms,
+        }
+    )
+
+
+def _label_groups(labels: pd.Series) -> "list[tuple[list[str], 'np.ndarray']]":
+    """Group batch rows by label set WITHOUT per-row tuple() hashing.
+
+    A cheap per-row fingerprint (len, first, last) buckets the rows; each
+    bucket is then verified homogeneous with one vectorized object-array
+    comparison against its first row (exact — heterogeneous buckets fall
+    back to per-row tuple grouping). Micro-batches carry very few distinct
+    label sets, so this is O(rows) + O(rows × L) C-level compares instead
+    of O(rows × L) Python hashing."""
+    import numpy as np
+
+    fps: dict[tuple, list[int]] = {}
+    vals = labels.to_numpy(dtype=object)
+    for i, labs in enumerate(vals):
+        m = len(labs)
+        fps.setdefault((m, labs[0] if m else None, labs[-1] if m else None), []).append(i)
+    groups: list[tuple[list[str], np.ndarray]] = []
+    for rows in fps.values():
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        rep = vals[rows_arr[0]]
+        if len(rows_arr) > 1 and len(rep):
+            stacked = np.stack([vals[i] for i in rows_arr])
+            same = (stacked == np.asarray(rep, dtype=object)).all(axis=1)
+        else:
+            same = np.ones(len(rows_arr), dtype=bool)
+        if same.all():
+            groups.append((sorted(rep), rows_arr))
+        else:  # fingerprint collision between different sets: exact fallback
+            by_set: dict[tuple, list[int]] = {}
+            for i in rows_arr:
+                by_set.setdefault(tuple(vals[i]), []).append(int(i))
+            for key, rws in by_set.items():
+                groups.append((sorted(key), np.asarray(rws, dtype=np.int64)))
+    return groups
+
+
 @F.pandas_udf(returnType=CLASSIFY_RESULT)
 def classify_udf(
     text: pd.Series, labels: pd.Series, top_k: pd.Series, threshold: pd.Series
@@ -100,71 +231,31 @@ def classify_udf(
     """
     import numpy as np
 
-    n = len(text)
-    out_pred = np.empty(n, dtype=object)
-    out_conf = np.empty(n, dtype=np.float64)
-    out_all = np.empty(n, dtype=object)
-    out_reason = np.empty(n, dtype=object)
-
-    toks = text.fillna("").str.lower().str.split(" ")
-    out_ms = toks.str.len().to_numpy(dtype=np.float64) * MS_PER_TOKEN
     thr = threshold.to_numpy(dtype=np.float64)
     ks = np.maximum(top_k.to_numpy(dtype=np.int64), 1)
+    return _classify_batch(text, _label_groups(labels), thr, ks)
 
-    # group rows by their label set (typically very few distinct sets)
-    by_set: dict[tuple, list[int]] = {}
-    for i, labs in enumerate(labels):
-        by_set.setdefault(tuple(labs), []).append(i)
 
-    exploded = toks.explode()
-    row_of_token = exploded.index.to_numpy(dtype=np.int64)
-    token_vals = exploded.to_numpy(dtype=object)
+def make_classify_udf(labels: list[str], top_k: int, threshold: float):
+    """Constant-config kernel factory: the label set, top_k and threshold
+    are closure constants, so the JVM never builds (and Arrow never ships)
+    a per-row label array — at the surveyed 1000-label width that column
+    alone was 1000 strings PER ROW crossing the Python boundary (guide
+    §4.1: pass only the columns the function needs). Output is identical
+    to ``classify_udf(text, lit(labels), lit(top_k), lit(threshold))``."""
+    import numpy as np
 
-    for key, rows in by_set.items():
-        ordered = sorted(key)
-        lab_idx = {l: j for j, l in enumerate(ordered)}
-        n_lab = len(ordered)
-        rows_arr = np.asarray(rows, dtype=np.int64)
-        pos = np.full(n, -1, dtype=np.int64)
-        pos[rows_arr] = np.arange(len(rows_arr))
+    ordered = sorted(labels)
 
-        # count label hits: one pass over the batch's exploded tokens
-        counts = np.zeros((len(rows_arr), n_lab), dtype=np.int64)
-        tok_lab = np.fromiter(
-            (lab_idx.get(t, -1) for t in token_vals), dtype=np.int64, count=len(token_vals)
-        )
-        hit = tok_lab >= 0
-        hit &= pos[row_of_token] >= 0
-        np.add.at(counts, (pos[row_of_token[hit]], tok_lab[hit]), 1)
+    @F.pandas_udf(returnType=CLASSIFY_RESULT)
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        n = len(text)
+        thr = np.full(n, threshold, dtype=np.float64)
+        ks = np.full(n, max(1, top_k), dtype=np.int64)
+        groups = [(ordered, np.arange(n, dtype=np.int64))]
+        return _classify_batch(text, groups, thr, ks)
 
-        denom = n_lab + counts.sum(axis=1)
-        scores = (counts + 1) / denom[:, None]
-        # score desc, label asc (labels pre-sorted + stable sort)
-        order = np.argsort(-scores, axis=1, kind="stable")
-        top_i = order[:, 0]
-        conf = scores[np.arange(len(rows_arr)), top_i]
-        out_conf[rows_arr] = conf
-        relabel = conf < thr[rows_arr]
-        lab_arr = np.asarray(ordered, dtype=object)
-        preds = lab_arr[top_i]
-        preds[relabel] = UNKNOWN_LABEL
-        out_pred[rows_arr] = preds
-        out_reason[rows_arr] = np.where(relabel, LOW_CONFIDENCE_REASON, None)
-        for r, g in enumerate(rows_arr):
-            k = min(ks[g], n_lab)
-            out_all[g] = [
-                {"label": lab_arr[j], "score": scores[r, j]} for j in order[r, :k]
-            ]
-
-    return pd.DataFrame(
-        {
-            "top_prediction": out_pred,
-            "top_confidence": out_conf,
-            "all_predictions": out_all,
-            "reason": out_reason,
-            "processing_time_ms": out_ms,
-        }
-    )
+    return _udf
 
 
 def classify_expr(text: Column, labels: Column, top_k: Column, threshold: Column) -> Column:

@@ -58,11 +58,16 @@ def classify_documents(
     labels = labels or DOC_LABELS
     par = documents.sparkSession.sparkContext.defaultParallelism
     documents = documents.repartition(par)
-    lab_col = F.array(*[F.lit(l) for l in labels])
-    k_col = F.lit(top_k)
-    thr_col = F.lit(threshold)
-    kern = classify_expr if use_expr else classify_udf
-    res = kern(F.col("text"), lab_col, k_col, thr_col)
+    if use_expr:
+        lab_col = F.array(*[F.lit(l) for l in labels])
+        res = classify_expr(F.col("text"), lab_col, F.lit(top_k), F.lit(threshold))
+    else:
+        # constant-config factory: the label set never crosses the Python
+        # boundary per row (guide §4.1 — at 1000 labels the lit-array
+        # column was 1000 strings/row through Arrow for zero information)
+        from distributed_classification_system_spark.functions.kernel import make_classify_udf
+
+        res = make_classify_udf(labels, top_k, threshold)(F.col("text"))
     return documents.select("doc_id", "lang", res.alias("r")).select(
         "doc_id",
         "lang",

@@ -271,6 +271,9 @@ def simhash64(text: pd.Series) -> pd.Series:
     whole simhash family oracle-checkable end to end."""
     import hashlib
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     n = len(text)
     shifts = np.arange(64, dtype=np.uint64)
     # null/empty text → fingerprint 0 (a contentless doc has no bits to
@@ -279,14 +282,20 @@ def simhash64(text: pd.Series) -> pd.Series:
     # null-text docs entirely (string_split(NULL) unnests to zero rows), a
     # silent parity divergence. simhash_near_dups filters such docs out on
     # both engines; the 0 sentinel keeps the bare UDF honest too.
-    filled = text.fillna("")
-    # single-space split (NOT whitespace runs): the engine's standard
-    # tokenizer, bit-matching DuckDB string_split(lower(text), ' ')
-    exploded = filled[filled != ""].str.lower().str.split(" ").explode().dropna()
-    if exploded.empty:
+    # Tokenization runs in Arrow C kernels (guide §4.2): lower +
+    # single-space split (NOT whitespace runs — bit-matching DuckDB
+    # string_split(lower(text), ' ')) + flatten + dictionary-encode, so
+    # md5 touches only the batch's UNIQUE tokens and no per-row Python.
+    filled = pc.fill_null(pa.Array.from_pandas(text), "")
+    keep = np.flatnonzero(pc.not_equal(filled, "").to_numpy(zero_copy_only=False))
+    if keep.size == 0:
         return pd.Series(np.zeros(n, dtype=np.int64))
-    row_of = exploded.index.to_numpy(dtype=np.int64)  # nondecreasing
-    codes, uniques = pd.factorize(exploded.to_numpy(dtype=object))
+    toks = pc.split_pattern(pc.utf8_lower(filled.take(pa.array(keep))), " ")
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    row_of = keep[np.repeat(np.arange(keep.size, dtype=np.int64), n_tok)]
+    enc = pc.list_flatten(toks).dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
     uh = np.fromiter(
         (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") for u in uniques),
         dtype=np.uint64,
