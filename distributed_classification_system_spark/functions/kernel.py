@@ -236,6 +236,35 @@ def classify_udf(
     return _classify_batch(text, _label_groups(labels), thr, ks)
 
 
+def make_registry_classify_udf(labels_by_job: dict[str, list[str]]):
+    """Registry-dispatch kernel factory for the streaming path: the label
+    REGISTRY (a tiny static dim) is captured in the closure keyed by
+    job_type, so the per-row ``labels`` array column — 5-20 strings per
+    row, pure payload to the Python boundary — never crosses Arrow (guide
+    §4.1). The stream still broadcast-joins the registry for model_name
+    and for the inner-join row-dropping semantics; only the label payload
+    moves out of the row. Output is identical to the 4-arg classify_udf
+    fed by the registry join."""
+    import numpy as np
+
+    by_job = {j: sorted(ls) for j, ls in labels_by_job.items()}
+
+    @F.pandas_udf(returnType=CLASSIFY_RESULT)
+    def _udf(
+        text: pd.Series, job_type: pd.Series, top_k: pd.Series, threshold: pd.Series
+    ) -> pd.DataFrame:
+        thr = threshold.to_numpy(dtype=np.float64)
+        ks = np.maximum(top_k.to_numpy(dtype=np.int64), 1)
+        codes, uniq = pd.factorize(job_type.to_numpy(dtype=object))
+        groups = [
+            (by_job[j], np.flatnonzero(codes == c).astype(np.int64))
+            for c, j in enumerate(uniq)
+        ]
+        return _classify_batch(text, groups, thr, ks)
+
+    return _udf
+
+
 def make_classify_udf(labels: list[str], top_k: int, threshold: float):
     """Constant-config kernel factory: the label set, top_k and threshold
     are closure constants, so the JVM never builds (and Arrow never ships)

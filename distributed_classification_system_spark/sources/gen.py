@@ -138,6 +138,14 @@ def _text_expr() -> Column:
     )
 
 
+# One live cached transcript relation (same discipline as operators/
+# dedup.py:_swap_cache): fixture writers evaluate the generated table
+# TWICE — repartitionByRange samples the child to compute range bounds,
+# then the write evaluates it again — so the generator caches its output
+# and each new invocation releases the previous cache.
+_live_gen_cache: list[DataFrame] = []
+
+
 def gen_transcripts(
     spark: SparkSession,
     n_convs: int,
@@ -173,14 +181,18 @@ def gen_transcripts(
     ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
         secs=(F.pmod(F.col("conv_seq"), F.lit(86400)) + F.col("turn_idx") * 7).cast("double")
     )
-    return turns.select(
+    out = turns.select(
         "conv_id",
         "turn_idx",
         role.alias("role"),
         _text_expr().alias("text"),
         tool.alias("tool"),
         ts.alias("ts"),
-    )
+    ).cache()
+    while _live_gen_cache:
+        _live_gen_cache.pop().unpersist(blocking=False)
+    _live_gen_cache.append(out)
+    return out
 
 
 def gen_label_registry(spark: SparkSession) -> DataFrame:

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from distributed_classification_system_spark.functions.kernel import classify_udf
 from distributed_classification_system_spark.functions.validate import error_reason_expr
 from distributed_classification_system_spark.schemas import TRANSCRIPTS
 
@@ -112,7 +111,12 @@ def classified_stream(
         .withColumn("top_k", F.coalesce("top_k", F.lit(5)))
         .withColumn("confidence_threshold", F.coalesce("confidence_threshold", F.lit(0.5)))
     )
-    df = df.join(F.broadcast(registry.select("job_type", "model_name", "labels")), "job_type")
+    # the registry broadcast join keeps the K7 dispatch semantics (inner
+    # join drops unregistered job_types, model_name rides the row); the
+    # label ARRAYS leave the row — they go to the kernel via closure
+    # (make_registry_classify_udf), so 5-20 strings/row of pure payload
+    # never cross the Python boundary (guide §4.1)
+    df = df.join(F.broadcast(registry.select("job_type", "model_name")), "job_type")
     # T6 dead-letter tag: one codegen'd CASE per row; tagged rows still ride
     # the same query (kernel is null-safe) and exit as row_type='error'
     df = df.withColumn("error_reason", error_reason_expr())
@@ -120,7 +124,16 @@ def classified_stream(
         # spread hot conversations across tasks for the stateless kernel
         # stage; the keyed fold re-gathers by conv_id afterwards (T10)
         df = df.repartition(F.col("conv_id"), F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)))
-    res = classify_udf(F.col("text"), F.col("labels"), F.col("top_k"), F.col("confidence_threshold"))
+    from distributed_classification_system_spark.functions.kernel import (
+        make_registry_classify_udf,
+    )
+
+    labels_by_job = {
+        r["job_type"]: list(r["labels"])
+        for r in registry.select("job_type", "labels").collect()
+    }
+    kern = make_registry_classify_udf(labels_by_job)
+    res = kern(F.col("text"), F.col("job_type"), F.col("top_k"), F.col("confidence_threshold"))
     return df.select(
         "conv_id",
         "turn_idx",
