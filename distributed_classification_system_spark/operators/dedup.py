@@ -341,11 +341,15 @@ def simhash_near_dups(
     where string_split(NULL) unnests to zero rows): a contentless doc has
     no meaningful near-dups, and admitting them would cluster every empty
     doc with every other through the shared 0 fingerprint."""
+    # spread the fingerprint UDF across the cluster first: a small corpus
+    # arrives as one scan split, which would serialize the whole pandas
+    # UDF through a single Python worker (same discipline as shingles())
+    par = documents.sparkSession.sparkContext.defaultParallelism
     sh = _swap_cache(
         "simhash_fp",
-        documents.filter(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
-            "doc_id", simhash64("text").alias("simhash")
-        ),
+        documents.repartition(par)
+        .filter(F.coalesce(F.length("text"), F.lit(0)) > 0)
+        .select("doc_id", simhash64("text").alias("simhash")),
     )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1

@@ -76,25 +76,62 @@ def conv_fold_docs(documents: DataFrame, with_failures: bool = False) -> DataFra
 
     ``with_failures=True`` runs the T6 path over the corrupted view:
     failed rows count toward total/completion, never into the grouping."""
+    from pyspark.sql import Window
+
     from distributed_classification_system_spark.functions.kernel import classify_expr
     from distributed_classification_system_spark.functions.validate import error_reason_expr
     from distributed_classification_system_spark.operators.classify import DOC_LABELS
 
-    tr = (
-        corrupt_docs_transcripts(documents)
-        if with_failures
-        else docs_as_transcripts(documents).join(documents.select("doc_id", "text"), "doc_id")
+    # Kernel BEFORE the window exchange (guide §2.4 ordering + the
+    # streaming engine's own discipline): the text corruption and the
+    # classification depend only on (doc_id, text), so they run on scan
+    # partitions at full parallelism; only slim scored rows cross the
+    # exchange, and the post-shuffle stage — which AQE legitimately
+    # coalesces to very few tasks at this volume — does window + fold
+    # arithmetic instead of re-running the kernel single-task.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents.repartition(par).select(
+        "doc_id", F.col("source").alias("conv_id"), "text"
     )
+    if with_failures:
+        docs = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 17 == 0, F.lit(""))
+            .otherwise(F.col("text")),
+        )
     res = classify_expr(
         F.col("text"), F.array(*[F.lit(l) for l in sorted(DOC_LABELS)]), F.lit(3), F.lit(0.25)
     )
+    scored = docs.select(
+        "conv_id",
+        "doc_id",
+        "text",
+        res["top_prediction"].alias("top_prediction"),
+        res["processing_time_ms"].alias("processing_time_ms"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    idx0 = (F.row_number().over(w) - 1).cast("int")
+    tr = scored.withColumn("idx0", idx0).withColumn(
+        "ts",
+        F.to_timestamp(F.lit(DOCS_BASE_TS)) + F.make_interval(secs=F.col("idx0").cast("double")),
+    )
+    if with_failures:
+        tr = tr.withColumn(
+            "ts", F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("timestamp")).otherwise(F.col("ts"))
+        ).withColumn(
+            "turn_idx",
+            F.when(F.col("doc_id") % 23 == 0, -(F.col("idx0") + 1)).otherwise(F.col("idx0")).cast("int"),
+        )
+    else:
+        tr = tr.withColumn("turn_idx", F.col("idx0"))
     turns = tr.select(
         "conv_id",
         "turn_idx",
         "ts",
         F.lit(DOCS_MODEL).alias("model_used"),
-        res["top_prediction"].alias("top_prediction"),
-        res["processing_time_ms"].alias("processing_time_ms"),
+        "top_prediction",
+        "processing_time_ms",
         error_reason_expr().alias("error_reason"),
     )
     config = documents.groupBy(F.col("source").alias("conv_id")).agg(
@@ -119,26 +156,19 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
         tr = tr.withColumn("error_reason", F.lit(None).cast("string"))
     err = F.col("error_reason").isNotNull()
 
-    per_label = (
-        tr.filter(~err)
-        .groupBy("conv_id", "top_prediction")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("turn_idx"), F.format_string(TURN_NAME, "turn_idx").alias("name")))
-                ),
-                lambda s: s["name"],
-            ).alias("files")
-        )
-        .groupBy("conv_id")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct(F.col("top_prediction").alias("label"), F.col("files"))))
-            ).alias("grouped_by_label")
-        )
+    # ONE aggregation pass per conv_id: counters AND the label grouping in
+    # the same groupBy (the previous two-branch shape ran the upstream
+    # kernel/window subtree twice and paid 3 aggregation exchanges plus a
+    # SortMergeJoin to stitch the branches back — guide §2.4). The map is
+    # built from one sorted (label, turn_idx) entry list with higher-order
+    # functions, bit-identical to the old two-level aggregate: array_sort
+    # on the struct orders by label then turn_idx, array_distinct keeps
+    # first-occurrence (= sorted label) order for the map keys, and the
+    # per-label file lists inherit the turn_idx ordering.
+    ent = F.when(
+        ~err, F.struct(F.col("top_prediction").alias("label"), F.col("turn_idx").alias("turn_idx"))
     )
-
-    counters = tr.groupBy("conv_id").agg(
+    agg = tr.groupBy("conv_id").agg(
         F.count("*").cast("int").alias("total"),
         F.sum(F.when(~err & (F.col("top_prediction") != "unknown"), 1).otherwise(0)).cast("int").alias("classified"),
         F.sum(F.when(~err & (F.col("top_prediction") == "unknown"), 1).otherwise(0)).cast("int").alias("unknown"),
@@ -153,10 +183,24 @@ def conv_summaries(turn_results: DataFrame, conv_config: DataFrame) -> DataFrame
         ).alias("processing_time_ms"),
         F.max("ts").alias("completed_at"),
         F.first("model_used").alias("model_used"),
+        F.array_sort(F.collect_list(ent)).alias("_ents"),  # nulls (errors) skipped
+    )
+    labs = F.array_distinct(F.transform("_ents", lambda s: s["label"]))
+    grouped = F.map_from_entries(
+        F.transform(
+            labs,
+            lambda l: F.struct(
+                l.alias("label"),
+                F.transform(
+                    F.filter(F.col("_ents"), lambda s: s["label"] == l),
+                    lambda s: F.format_string(TURN_NAME, s["turn_idx"]),
+                ).alias("files"),
+            ),
+        )
     )
 
     return (
-        counters.join(per_label, "conv_id", "left")  # all-failed conv → empty map
+        agg.withColumn("grouped_by_label", grouped)
         .join(conv_config.select("conv_id", "n_turns"), "conv_id")
         .select(
             "conv_id",
