@@ -265,14 +265,27 @@ def make_registry_classify_udf(labels_by_job: dict[str, list[str]]):
     return _udf
 
 
+_UDF_CACHE: dict[tuple, object] = {}
+
+
 def make_classify_udf(labels: list[str], top_k: int, threshold: float):
     """Constant-config kernel factory: the label set, top_k and threshold
     are closure constants, so the JVM never builds (and Arrow never ships)
     a per-row label array — at the surveyed 1000-label width that column
     alone was 1000 strings PER ROW crossing the Python boundary (guide
     §4.1: pass only the columns the function needs). Output is identical
-    to ``classify_udf(text, lit(labels), lit(top_k), lit(threshold))``."""
+    to ``classify_udf(text, lit(labels), lit(top_k), lit(threshold))``.
+
+    The UDF object is memoized per config: building a pandas_udf (pickle +
+    py4j registration) is driver-side work repeated invocations need not
+    re-pay, and Column/UDF objects are immutable expression templates that
+    are safe to reuse across DataFrames."""
     import numpy as np
+
+    key = (tuple(labels), int(top_k), float(threshold))
+    cached = _UDF_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     ordered = sorted(labels)
 
@@ -284,6 +297,7 @@ def make_classify_udf(labels: list[str], top_k: int, threshold: float):
         groups = [(ordered, np.arange(n, dtype=np.int64))]
         return _classify_batch(text, groups, thr, ks)
 
+    _UDF_CACHE[key] = _udf
     return _udf
 
 

@@ -41,6 +41,10 @@ DOC_LABELS = ["spark", "query", "join", "filter", "window"]
 DOC_LABELS_1K = sorted(set(DOC_LABELS) | {f"class{i:04d}" for i in range(995)})
 assert len(DOC_LABELS_1K) == 1000
 
+# classify_expr Column templates per (labels, top_k, threshold) — see
+# classify_documents
+_EXPR_CACHE: dict[tuple, "F.Column"] = {}
+
 
 def classify_documents(
     documents: DataFrame,
@@ -59,8 +63,14 @@ def classify_documents(
     par = documents.sparkSession.sparkContext.defaultParallelism
     documents = documents.repartition(par)
     if use_expr:
-        lab_col = F.array(*[F.lit(l) for l in labels])
-        res = classify_expr(F.col("text"), lab_col, F.lit(top_k), F.lit(threshold))
+        # memoized: the Catalyst expression tree is hundreds of py4j calls
+        # to build; Column objects are immutable templates, safe to reuse
+        key = (tuple(labels), top_k, threshold)
+        res = _EXPR_CACHE.get(key)
+        if res is None:
+            lab_col = F.array(*[F.lit(l) for l in labels])
+            res = classify_expr(F.col("text"), lab_col, F.lit(top_k), F.lit(threshold))
+            _EXPR_CACHE[key] = res
     else:
         # constant-config factory: the label set never crosses the Python
         # boundary per row (guide §4.1 — at 1000 labels the lit-array
