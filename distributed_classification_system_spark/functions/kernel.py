@@ -113,7 +113,9 @@ def _classify_batch(
     # tokenize in Arrow C kernels, not per-row Python (guide §4.2): lower +
     # single-space split + flatten; split(" ") of "" is [""] so n_tok ≥ 1,
     # matching (text or "").split(" ") in the scalar oracle bit-for-bit
-    low = pc.utf8_lower(pc.fill_null(pa.Array.from_pandas(text), ""))
+    # type pinned: an all-null batch would otherwise infer Arrow `null`
+    # type and fill_null("") cannot cast into it
+    low = pc.utf8_lower(pc.fill_null(pa.Array.from_pandas(text, type=pa.string()), ""))
     toks = pc.split_pattern(low, " ")
     n_tok_arr = pc.list_value_length(toks).to_numpy().astype(np.int64)
     out_ms = n_tok_arr.astype(np.float64) * MS_PER_TOKEN

@@ -286,7 +286,9 @@ def simhash64(text: pd.Series) -> pd.Series:
     # single-space split (NOT whitespace runs — bit-matching DuckDB
     # string_split(lower(text), ' ')) + flatten + dictionary-encode, so
     # md5 touches only the batch's UNIQUE tokens and no per-row Python.
-    filled = pc.fill_null(pa.Array.from_pandas(text), "")
+    # type pinned: an all-null batch would otherwise infer Arrow `null`
+    # type and fill_null("") cannot cast into it
+    filled = pc.fill_null(pa.Array.from_pandas(text, type=pa.string()), "")
     keep = np.flatnonzero(pc.not_equal(filled, "").to_numpy(zero_copy_only=False))
     if keep.size == 0:
         return pd.Series(np.zeros(n, dtype=np.int64))
