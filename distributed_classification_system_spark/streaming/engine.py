@@ -404,10 +404,10 @@ def run_stream(
             spark.streams.removeListener(listener)
             # the engine's observability table (FIXTURES.md §4c) — input to
             # the W1-W8 analysis rollups, the analogue of the reference's
-            # CloudWatch series (metrics_collector.py:112-164)
-            listener.to_df(spark).write.mode("append").parquet(
-                os.path.join(out_dir, "metrics")
-            )
+            # CloudWatch series (metrics_collector.py:112-164). Written
+            # driver-side: a per-micro-batch table is a few rows per run,
+            # and a Spark write job costs ~0.4 s of launch+commit for it
+            listener.write_parquet(os.path.join(out_dir, "metrics"))
 
     reader = spark.readStream.schema(TRANSCRIPTS)
     if max_files_per_trigger:

@@ -341,3 +341,44 @@ def test_nonbroadcast_config_join_cascade_mode(spark, tdir):
     assert _summary_key(eng.read_conv_summaries(spark, out_b).collect()) == _summary_key(
         eng.read_conv_summaries(spark, out_s).collect()
     )
+
+
+def test_metrics_write_parquet_matches_spark_schema(spark, tdir):
+    """The driver-side metrics writer must produce files Spark reads back
+    with the exact METRICS schema (including TimestampType, not NTZ) and
+    the same values the Spark-job writer (to_df + write) produced."""
+    from distributed_classification_system_spark.schemas import METRICS
+    from distributed_classification_system_spark.streaming.metrics import MetricsListener
+
+    li = MetricsListener()
+    li.rows = [
+        {
+            "batch_id": 0,
+            "ts": "2025-03-01T12:00:00.123Z",
+            "input_rows": 600,
+            "turns_per_sec": 1234.5,
+            "state_rows": 256,
+            "watermark": "2025-03-01T11:55:00.000Z",
+            "num_partitions": None,
+        },
+        {
+            "batch_id": 1,
+            "ts": "2025-03-01T12:00:05.000Z",
+            "input_rows": 0,
+            "turns_per_sec": None,
+            "state_rows": 12,
+            "watermark": None,
+            "num_partitions": None,
+        },
+    ]
+    direct_dir = os.path.join(tdir, "metrics_direct")
+    li.write_parquet(direct_dir)
+    li.write_parquet(direct_dir)  # append semantics: second file, no clobber
+    got = spark.read.parquet(direct_dir)
+    want = li.to_df(spark)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in METRICS.fields
+    ]
+    rows = sorted(got.collect(), key=lambda r: r["batch_id"])
+    assert len(rows) == 4  # 2 rows x 2 appended files
+    assert sorted(rows[::2]) == sorted(want.collect())
