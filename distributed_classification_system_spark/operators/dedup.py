@@ -44,7 +44,12 @@ def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
     if old is not None:
         # non-blocking: any still-running plan over the old blocks simply
         # recomputes its partitions
-        old.unpersist(blocking=False)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            # the slot's cache belonged to a since-stopped SparkSession;
+            # its blocks died with that context — nothing to free
+            pass
     _live_caches[slot] = df.cache()
     return _live_caches[slot]
 

@@ -190,7 +190,14 @@ def gen_transcripts(
         ts.alias("ts"),
     ).cache()
     while _live_gen_cache:
-        _live_gen_cache.pop().unpersist(blocking=False)
+        old = _live_gen_cache.pop()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            # the previous cache belonged to a since-stopped SparkSession
+            # (e.g. two sessions in one process, as the determinism probe
+            # does); its blocks died with that context — nothing to free
+            pass
     _live_gen_cache.append(out)
     return out
 

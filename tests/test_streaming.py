@@ -382,3 +382,26 @@ def test_metrics_write_parquet_matches_spark_schema(spark, tdir):
     rows = sorted(got.collect(), key=lambda r: r["batch_id"])
     assert len(rows) == 4  # 2 rows x 2 appended files
     assert sorted(rows[::2]) == sorted(want.collect())
+
+
+def test_cache_swap_survives_dead_previous_session(spark):
+    """Re-invoking a swap-cached generator/operator after the previous
+    cache's SparkSession died must not raise (the two-sessions-in-one-
+    process pattern the determinism probe uses): the stale unpersist is
+    best-effort, not load-bearing."""
+    from distributed_classification_system_spark.operators import dedup
+    from distributed_classification_system_spark.sources import gen
+
+    class _DeadDF:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("SparkContext stopped")
+
+    gen._live_gen_cache.append(_DeadDF())
+    out = gen.gen_transcripts(spark, 5)
+    assert out.count() > 0
+
+    dedup._live_caches["ngram_shingles"] = _DeadDF()
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    assert dedup.ngram_jaccard_pairs(docs).count() >= 0
