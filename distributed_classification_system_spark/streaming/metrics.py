@@ -78,16 +78,27 @@ class MetricsListener(StreamingQueryListener):
         data. A direct pyarrow write is ~10 ms and produces the same
         directory layout and logical types as the Spark writer, so
         ``spark.read.parquet(path)`` yields the METRICS schema unchanged
-        (ts carries isAdjustedToUTC, matching Spark's TimestampType)."""
+        (ts carries isAdjustedToUTC, matching Spark's TimestampType).
+        Zero collected rows still produce an empty-but-readable table,
+        like the Spark writer did. ``path`` must be a local filesystem
+        path (every engine caller's out_dir is); a cluster deployment
+        writing sinks to HDFS/S3 would route this table through its
+        catalog instead."""
         import uuid
 
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if not self.rows:
-            return
-        pdf = pd.DataFrame(self.rows)
+        with self._lock:  # the listener bus appends from another thread
+            rows = list(self.rows)
+        pdf = pd.DataFrame(
+            rows,
+            columns=[
+                "batch_id", "ts", "input_rows", "turns_per_sec",
+                "state_rows", "watermark", "num_partitions",
+            ],
+        )
         ts = pd.to_datetime(pdf["ts"], format="ISO8601", utc=True)
         table = pa.table(
             {

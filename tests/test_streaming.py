@@ -383,6 +383,16 @@ def test_metrics_write_parquet_matches_spark_schema(spark, tdir):
     assert len(rows) == 4  # 2 rows x 2 appended files
     assert sorted(rows[::2]) == sorted(want.collect())
 
+    # zero collected rows must still yield an empty-but-readable table
+    # with the full schema, like the Spark writer produced
+    empty_dir = os.path.join(tdir, "metrics_empty")
+    MetricsListener().write_parquet(empty_dir)
+    empty = spark.read.parquet(empty_dir)
+    assert empty.count() == 0
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in METRICS.fields
+    ]
+
 
 def test_cache_swap_survives_dead_previous_session(spark):
     """Re-invoking a swap-cached generator/operator after the previous
