@@ -29,8 +29,25 @@ from distributed_classification_system_spark.functions import text as _text
 from distributed_classification_system_spark.functions.validate import split_failed
 
 
+# Lazy-plan memo for the driver tables: `spark.read.parquet` pays a py4j
+# round trip plus file listing + footer schema read EVERY call, and the
+# suite re-reads the same static table for dozens of queries (documents
+# ~15x, events ~8x). The cached object is an unevaluated plan template —
+# no rows are cached; every execution still scans the parquet files — so
+# this only removes repeated driver-side resolution of an immutable input
+# (same discipline as the kernel's _EXPR_CACHE). Keyed per session: a DF
+# from a stopped SparkSession must never leak into a new one.
+_T_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    hit = _T_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _T_CACHE[key] = (spark, df)
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:

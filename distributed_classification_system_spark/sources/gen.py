@@ -66,6 +66,21 @@ def _u(*cols: Column | str, tag: str) -> Column:
     return F.pmod(_h(*cols, tag=tag), F.lit(1_000_000)).cast("double") / 1_000_000.0
 
 
+# SQL-string twins of _h/_u: the generators build their projections as
+# single selectExpr strings — ONE py4j round trip + one JVM parse instead
+# of hundreds of Column calls (~1.7 s of driver time per gen_transcripts
+# build, paid inside the timed e2e region). The parsed trees are the same
+# expressions, so output is bit-identical — pinned by the golden-hash
+# tests in tests/test_gen.py. Double literals carry the D suffix: bare
+# `0.4` parses as DECIMAL in Spark SQL, while F.lit(0.4) was DoubleType.
+def _h_sql(tag: str, *cols: str) -> str:
+    return f"xxhash64('{tag}', {SEED}, {', '.join(cols)})"
+
+
+def _u_sql(tag: str, *cols: str) -> str:
+    return f"(CAST(pmod({_h_sql(tag, *cols)}, 1000000) AS DOUBLE) / 1000000.0D)"
+
+
 def gen_conversations(
     spark: SparkSession,
     n_convs: int,
@@ -78,31 +93,27 @@ def gen_conversations(
     (reference: one 30k-item job, scripts/submit_large_load.py:25-36).
     """
     df = spark.range(n_convs).withColumnRenamed("id", "conv_seq")
-    u_band = _u("conv_seq", tag="band")
-    u_size = _u("conv_seq", tag="size")
-    n_turns = (
-        F.when(F.col("conv_seq") < n_hot, F.lit(hot_turns))
-        .when(u_band < 0.4, (F.lit(1) + F.floor(u_size * 3)))
-        .when(u_band < 0.9, (F.lit(4) + F.floor(u_size * 7)))
-        .otherwise(F.lit(11) + F.floor(u_size * 10))
-    ).cast("int")
-    return df.select(
-        F.col("conv_seq"),
-        F.format_string("conv-%08d", "conv_seq").alias("conv_id"),
-        n_turns.alias("n_turns"),
-        F.element_at(
-            F.array(*[F.lit(j) for j in JOB_TYPES]),
-            (F.pmod(_h("conv_seq", tag="job_type"), F.lit(2)) + 1).cast("int"),
-        ).alias("job_type"),
-        (F.pmod(_h("conv_seq", tag="top_k"), F.lit(10)) + 1).cast("int").alias("top_k"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in THRESHOLDS]),
-            (F.pmod(_h("conv_seq", tag="thr"), F.lit(len(THRESHOLDS))) + 1).cast("int"),
-        ).alias("confidence_threshold"),
-        F.element_at(
-            F.array(*[F.lit(m) for m in ALL_MARKERS]),
-            (F.pmod(_h("conv_seq", tag="bias"), F.lit(len(ALL_MARKERS))) + 1).cast("int"),
-        ).alias("bias_label"),
+    u_band = _u_sql("band", "conv_seq")
+    u_size = _u_sql("size", "conv_seq")
+    jobs = ", ".join(f"'{j}'" for j in JOB_TYPES)
+    thrs = ", ".join(f"{t}D" for t in THRESHOLDS)
+    markers = ", ".join(f"'{m}'" for m in ALL_MARKERS)
+    return df.selectExpr(
+        "conv_seq",
+        "format_string('conv-%08d', conv_seq) AS conv_id",
+        f"CAST(CASE WHEN conv_seq < {n_hot} THEN {hot_turns}"
+        f" WHEN {u_band} < 0.4D THEN 1 + floor({u_size} * 3)"
+        f" WHEN {u_band} < 0.9D THEN 4 + floor({u_size} * 7)"
+        f" ELSE 11 + floor({u_size} * 10) END AS INT) AS n_turns",
+        f"element_at(array({jobs}),"
+        f" CAST(pmod({_h_sql('job_type', 'conv_seq')}, 2) + 1 AS INT)) AS job_type",
+        f"CAST(pmod({_h_sql('top_k', 'conv_seq')}, 10) + 1 AS INT) AS top_k",
+        f"element_at(array({thrs}),"
+        f" CAST(pmod({_h_sql('thr', 'conv_seq')}, {len(THRESHOLDS)}) + 1 AS INT))"
+        " AS confidence_threshold",
+        f"element_at(array({markers}),"
+        f" CAST(pmod({_h_sql('bias', 'conv_seq')}, {len(ALL_MARKERS)}) + 1 AS INT))"
+        " AS bias_label",
     )
 
 
@@ -113,28 +124,21 @@ def gen_conv_config(spark: SparkSession, n_convs: int, **kw) -> DataFrame:
     )
 
 
-def _text_expr() -> Column:
+def _text_sql() -> str:
     """Seeded token sequence, 5-200 tokens, ~25% label-correlated markers.
 
-    Pure Catalyst (`transform` over `sequence`) — whole-stage codegen'd,
-    no Python in the generation path.
+    Pure Catalyst (`transform` over `sequence`), no Python in the
+    generation path; built as one SQL string (see _h_sql note).
     """
-    filler = F.array(*[F.lit(w) for w in FILLER])
-    n_tokens = (F.pmod(_h("conv_seq", "turn_idx", tag="ntok"), F.lit(196)) + 5).cast("int")
-    return F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), n_tokens),
-            lambda i: F.when(
-                F.pmod(F.xxhash64(F.lit("pick"), F.lit(SEED), F.col("conv_seq"), F.col("turn_idx"), i), F.lit(4)) == 0,
-                F.col("bias_label"),
-            ).otherwise(
-                F.element_at(
-                    filler,
-                    (F.pmod(F.xxhash64(F.lit("tok"), F.lit(SEED), F.col("conv_seq"), F.col("turn_idx"), i), F.lit(len(FILLER))) + 1).cast("int"),
-                )
-            ),
-        ),
+    filler = ", ".join(f"'{w}'" for w in FILLER)
+    n_tokens = f"CAST(pmod({_h_sql('ntok', 'conv_seq', 'turn_idx')}, 196) + 5 AS INT)"
+    return (
+        f"concat_ws(' ', transform(sequence(1, {n_tokens}), i ->"
+        f" CASE WHEN pmod(xxhash64('pick', {SEED}, conv_seq, turn_idx, i), 4) = 0"
+        " THEN bias_label"
+        f" ELSE element_at(array({filler}),"
+        f" CAST(pmod(xxhash64('tok', {SEED}, conv_seq, turn_idx, i), {len(FILLER)}) + 1 AS INT))"
+        " END))"
     )
 
 
@@ -159,35 +163,37 @@ def gen_transcripts(
     tests derive disordered/late/duplicated variants from this.
     """
     convs = gen_conversations(spark, n_convs, n_hot=n_hot, hot_turns=hot_turns)
-    turns = convs.select(
+    turns = convs.selectExpr(
         "conv_seq",
         "conv_id",
         "bias_label",
-        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
-    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        # sequence(0, n_turns-1) is array<int> (both bounds INT), so the
+        # exploded turn_idx is already IntegerType — no cast needed (a
+        # generator cannot be nested inside CAST in a projection anyway)
+        "explode(sequence(0, n_turns - 1)) AS turn_idx",
+    )
 
     role = (
-        F.when(F.pmod(F.col("turn_idx") + _h("conv_seq", tag="rolerot"), F.lit(5)) == 4, F.lit("tool"))
-        .when(F.pmod(F.col("turn_idx"), F.lit(2)) == 0, F.lit("user"))
-        .otherwise(F.lit("assistant"))
+        f"CASE WHEN pmod(turn_idx + {_h_sql('rolerot', 'conv_seq')}, 5) = 4 THEN 'tool'"
+        " WHEN pmod(turn_idx, 2) = 0 THEN 'user' ELSE 'assistant' END"
     )
-    tool = F.when(
-        _u("conv_seq", "turn_idx", tag="hastool") >= 0.7,
-        F.element_at(
-            F.array(*[F.lit(t) for t in TOOLS]),
-            (F.pmod(_h("conv_seq", "turn_idx", tag="tool"), F.lit(len(TOOLS))) + 1).cast("int"),
-        ),
+    tools = ", ".join(f"'{t}'" for t in TOOLS)
+    tool = (
+        f"CASE WHEN {_u_sql('hastool', 'conv_seq', 'turn_idx')} >= 0.7D THEN"
+        f" element_at(array({tools}),"
+        f" CAST(pmod({_h_sql('tool', 'conv_seq', 'turn_idx')}, {len(TOOLS)}) + 1 AS INT)) END"
     )
-    ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
-        secs=(F.pmod(F.col("conv_seq"), F.lit(86400)) + F.col("turn_idx") * 7).cast("double")
+    ts = (
+        f"to_timestamp('{BASE_TS}') + make_interval(0, 0, 0, 0, 0, 0,"
+        " CAST(pmod(conv_seq, 86400) + turn_idx * 7 AS DOUBLE))"
     )
-    out = turns.select(
+    out = turns.selectExpr(
         "conv_id",
         "turn_idx",
-        role.alias("role"),
-        _text_expr().alias("text"),
-        tool.alias("tool"),
-        ts.alias("ts"),
+        f"{role} AS role",
+        f"{_text_sql()} AS text",
+        f"{tool} AS tool",
+        f"{ts} AS ts",
     ).cache()
     while _live_gen_cache:
         old = _live_gen_cache.pop()

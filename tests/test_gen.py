@@ -91,3 +91,34 @@ def test_registry_schema(spark):
 
 def test_sizing():
     assert abs(n_convs_for_sf(0.001) * 5.85 - 6000) < 60
+
+
+def _canon_md5(df, order_cols):
+    import hashlib
+
+    h = hashlib.md5()
+    for r in df.orderBy(*order_cols).collect():
+        h.update(("|".join("∅" if v is None else str(v) for v in r)).encode())
+    return h.hexdigest()
+
+
+def test_golden_output_hashes(spark):
+    """Pin the generator's exact output: the r6 selectExpr rewrite (one
+    SQL parse instead of hundreds of py4j Column calls) must be — and any
+    future rewrite must stay — bit-identical to the original Column-API
+    generators. Hashes were captured from the pre-rewrite implementation."""
+    assert (
+        _canon_md5(gen_transcripts(spark, 2000), ["conv_id", "turn_idx"])
+        == "9c1db0c8ee473dea1712d826151e8d75"
+    )
+    assert (
+        _canon_md5(
+            gen_transcripts(spark, 300, n_hot=2, hot_turns=50),
+            ["conv_id", "turn_idx"],
+        )
+        == "0690cb4389e781237544d115509e8406"
+    )
+    assert (
+        _canon_md5(gen.gen_conversations(spark, 2000), ["conv_seq"])
+        == "b7d6512831f891a4a580bac8d53072e8"
+    )
